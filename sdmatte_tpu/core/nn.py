@@ -1,0 +1,91 @@
+"""Functional neural-net primitives over explicit param pytrees.
+
+Design: instead of a stateful module system, every layer is a pure function
+``f(params, x, ...)`` over a nested-dict param tree whose structure mirrors the
+torch checkpoint key paths (see checkpoint/loader.py).  This is the
+TPU-idiomatic shape: pure functions + pytrees jit/pjit/grad cleanly, sharding
+annotations attach directly to the tree, and checkpoint loading is a
+mechanical relabeling instead of module surgery (the reference instead
+monkeypatches live torch modules, src/utils/utils.py:13-56).
+
+Layout conventions (converted once at checkpoint load):
+  * activations NHWC (channels-last = TPU lane dimension)
+  * conv kernels HWIO, linear kernels (in, out)
+  * norm params named scale/bias
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .dtypes import Policy, FP32
+
+
+def linear(p, x, policy: Policy = FP32):
+    k = p["kernel"].astype(policy.compute_dtype)
+    y = jnp.dot(policy.cast_compute(x), k, preferred_element_type=policy.accum_dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(policy.accum_dtype)
+    return y
+
+
+def conv2d(p, x, *, stride: int = 1, padding=1, policy: Policy = FP32):
+    """3x3/1x1 conv, NHWC x HWIO.  ``padding`` is an int (symmetric) or an
+    explicit ((top,bottom),(left,right)) pair — the VAE encoder's downsample
+    uses asymmetric (0,1),(0,1) padding."""
+    k = p["kernel"].astype(policy.compute_dtype)
+    if isinstance(padding, int):
+        pad = [(padding, padding), (padding, padding)]
+    else:
+        pad = [tuple(padding[0]), tuple(padding[1])]
+    y = lax.conv_general_dilated(
+        policy.cast_compute(x), k,
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=policy.accum_dtype,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(policy.accum_dtype)
+    return y
+
+
+def group_norm(p, x, *, groups: int = 32, eps: float = 1e-5):
+    """GroupNorm over NHWC; statistics in fp32 (TPU numerics rule)."""
+    b, h, w, c = x.shape
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32).reshape(b, h * w, groups, c // groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * lax.rsqrt(var + eps)
+    xf = xf.reshape(b, h, w, c)
+    xf = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return xf.astype(orig_dtype)
+
+
+def layer_norm(p, x, *, eps: float = 1e-5):
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xf = (xf - mean) * lax.rsqrt(var + eps)
+    xf = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return xf.astype(orig_dtype)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def gelu(x):
+    # exact (erf) gelu — matches torch nn.GELU default / HF "gelu"
+    return jax.nn.gelu(x, approximate=False)
+
+
+def geglu(p, x, policy: Policy = FP32):
+    """diffusers GEGLU: one fused projection to 2*d_ff, gelu-gate half."""
+    y = linear(p, x, policy)
+    a, g = jnp.split(y, 2, axis=-1)
+    return a * gelu(g)
