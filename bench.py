@@ -1,0 +1,72 @@
+"""Benchmark: 1024px mattes/sec/chip + p50 latency at 512/1024 (BASELINE.md).
+
+Runs the full jit-fused pipeline (preprocess -> VAE encodes -> U-Net ->
+decode -> refine -> composite) on the flagship full-size model, bf16, flash
+attention.  Prints ONE JSON line.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the driver
+target is p50 <= 150 ms per 1024px matte on one v5e chip, i.e. a baseline
+throughput of 1/0.15 = 6.67 mattes/sec/chip.  vs_baseline = ours / 6.67
+(>1.0 beats the target).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from sdmatte_tpu.configs import SDMatteConfig
+    from sdmatte_tpu.core.dtypes import BF16
+    from sdmatte_tpu.models import sdmatte
+    from sdmatte_tpu.pipeline import MattingPipeline, PipelineOptions
+
+    cfg = SDMatteConfig()
+    params = sdmatte.init(cfg, seed=0)
+    pipe = MattingPipeline(params, cfg, policy=BF16, attn_impl="auto")
+    del params
+
+    rng = np.random.default_rng(0)
+
+    def bench(size, batch, iters=8, warmup=2):
+        img = rng.uniform(0, 1, (batch, size, size, 3)).astype(np.float32)
+        tri = rng.uniform(0, 1, (batch, size, size)).astype(np.float32)
+        opts = PipelineOptions(inference_size=size, output_mode="alpha_only",
+                               mask_refine=True)
+        times = []
+        for i in range(warmup + iters):
+            t0 = time.perf_counter()
+            alpha, matted = pipe(img, tri, options=opts)
+            jax.block_until_ready((alpha, matted))
+            dt = time.perf_counter() - t0
+            if i >= warmup:
+                times.append(dt)
+        return float(np.percentile(times, 50))
+
+    p50_512 = bench(512, 1)
+    p50_1024 = bench(1024, 1)
+    batch = 8
+    p50_b8 = bench(1024, batch, iters=4)
+    throughput = batch / p50_b8
+
+    baseline_throughput = 1.0 / 0.150  # driver target: 150 ms p50 @ 1024px
+    result = {
+        "metric": "1024px_mattes_per_sec_per_chip",
+        "value": round(throughput, 3),
+        "unit": "mattes/s",
+        "vs_baseline": round(throughput / baseline_throughput, 3),
+        "p50_latency_512px_ms": round(p50_512 * 1e3, 1),
+        "p50_latency_1024px_ms": round(p50_1024 * 1e3, 1),
+        "batch8_1024px_s": round(p50_b8, 4),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

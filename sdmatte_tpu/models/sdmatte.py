@@ -1,0 +1,141 @@
+"""SDMatte meta-architecture: one deterministic U-Net pass image+prompt -> alpha.
+
+Functional mirror of the reference's ``SDMatte.forward`` (reference
+meta_arch.py:127-261), with the quirks SURVEY.md §7 calls out preserved:
+
+  * deterministic VAE encode (moments -> mean)            (meta_arch.py:144,211)
+  * timestep=None; opacity (1 - is_trans) drives the time embedding
+                                                          (meta_arch.py:237-248)
+  * trimap prompts route through the bbox coord branch     (meta_arch.py:150,178-187)
+  * attention mask = (aux+1)/2, nearest 1/8, flattened     (meta_arch.py:200-204)
+  * alpha = channel-mean of decoded RGB, clip, [0,1] remap (meta_arch.py:258-261)
+
+Fixed (consciously, per SURVEY.md §7): device placement is wherever jit puts
+it (the reference hardcodes .cuda()), and the text tower is only computed when
+a stage's gating actually consumes text tokens (the reference always computes
+it and then discards it at every stage under the default [T,T,T] gating).
+
+Everything here traces into a single XLA graph; inputs are NHWC jnp arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..configs import SDMatteConfig, AUX_INPUT_COORDS
+from ..core.dtypes import Policy, FP32
+from ..core.embeddings import sinusoidal_embedding, point_coords_padding
+from ..core.imaging import resize_nearest
+from . import vae, unet, clip
+
+
+def _coords_embed(cfg: SDMatteConfig, aux_type: str, coords: jnp.ndarray,
+                  use_coor_input: bool) -> dict:
+    """Coordinate conditioning (reference meta_arch.py:150-197)."""
+    b = coords.shape[0]
+    if AUX_INPUT_COORDS[aux_type] == "point_coords":
+        n = coords.shape[1]
+        padded, channels = point_coords_padding(n, cfg.unet.point_embeddings_input_dim)
+        coor = jnp.pad(coords, ((0, 0), (0, padded - n)))
+        if not use_coor_input:
+            coor = jnp.zeros_like(coor)
+        emb = sinusoidal_embedding(coor.reshape(-1), channels)
+        return {"point_coords": emb.reshape(b, -1)}
+    # bbox / mask / trimap / auto all take the bbox branch
+    if not use_coor_input:
+        coords = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0, 1.0]], jnp.float32), (b, 1))
+    emb = sinusoidal_embedding(coords.reshape(-1), 320)
+    return {"bbox_mask_coords": emb.reshape(b, -1)}
+
+
+def forward(
+    params,
+    cfg: SDMatteConfig,
+    data: dict,
+    *,
+    aux_input_type: Optional[str] = None,
+    policy: Policy = FP32,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """data keys (NHWC, all jnp):
+      image        (B, S, S, 3) in [-1,1]
+      <aux_type>   (B, S, S, 1) in [-1,1]  (trimap / point_mask / bbox_mask / mask)
+      <aux>_coords (B, 4) or (B, N) for points
+      is_trans     (B,)
+      text_ids     (B, 77) int32 — optional, only read if a stage uses text
+    Returns alpha (B, S, S, 1) in [0,1].
+    """
+    aux_type = aux_input_type or cfg.aux_input
+    rgb = data["image"]
+    b = rgb.shape[0]
+
+    # -- aux latent (deterministic encode) --------------------------------
+    aux_latent = None
+    if cfg.use_aux_input:
+        aux = data[aux_type]
+        aux3 = jnp.repeat(aux, 3, axis=-1).astype(rgb.dtype)
+        aux_latent = vae.encode(params["vae"], aux3, cfg.vae, policy=policy,
+                                attn_impl=attn_impl)
+
+    # -- coordinate conditioning ------------------------------------------
+    coords = data[AUX_INPUT_COORDS[aux_type]]
+    coords_embed = _coords_embed(cfg, aux_type, coords, cfg.use_coor_input)
+
+    # -- attention mask: latent-resolution prompt mask --------------------
+    attention_mask = None
+    if cfg.use_attention_mask and aux_type in cfg.attn_mask_aux_input:
+        m = (data[aux_type] + 1.0) * 0.5
+        s = rgb.shape[1]
+        m = resize_nearest(m, s // 8, s // 8)
+        attention_mask = m.reshape(b, -1)
+
+    # -- rgb latent --------------------------------------------------------
+    rgb_latent = vae.encode(params["vae"], rgb, cfg.vae, policy=policy,
+                            attn_impl=attn_impl)
+
+    # -- cross-attention contexts -----------------------------------------
+    aux_tokens = None
+    if cfg.use_encoder_hidden_states and aux_latent is not None:
+        aux_tokens = unet.aux_tokens(params["unet"], aux_latent, cfg.unet,
+                                     policy=policy)
+    text_tokens = None
+    if not all(cfg.unet.use_encoder_hidden_states_list):
+        text_tokens = clip.apply(params["text_encoder"], data["text_ids"],
+                                 cfg.clip, policy=policy)
+
+    # -- opacity conditioning (timestep stays None: single-pass, no noise) --
+    trans = 1.0 - jnp.asarray(data["is_trans"], jnp.float32).reshape(-1)
+
+    sample = jnp.concatenate([rgb_latent, aux_latent], axis=-1)
+    label_latent = unet.apply(
+        params["unet"], cfg.unet,
+        sample=sample.astype(policy.compute_dtype),
+        trans=trans,
+        encoder_hidden_states=aux_tokens,
+        encoder_hidden_states_2=text_tokens,
+        coords_embed=coords_embed,
+        attention_mask=attention_mask,
+        timestep=None,
+        policy=policy,
+        attn_impl=attn_impl,
+    )
+
+    # -- decode + alpha head ----------------------------------------------
+    z = label_latent.astype(policy.compute_dtype) / jnp.asarray(
+        cfg.vae.scaling_factor, policy.compute_dtype)
+    decoded = vae.decode(params["vae"], z, cfg.vae, policy=policy,
+                         attn_impl=attn_impl)
+    alpha = jnp.mean(decoded.astype(jnp.float32), axis=-1, keepdims=True)
+    alpha = jnp.clip(alpha, -1.0, 1.0)
+    return (alpha + 1.0) * 0.5
+
+
+def init(cfg: SDMatteConfig, seed: int = 0):
+    """Random-init full param tree (checkpoint-compatible shapes)."""
+    return {
+        "vae": vae.init(cfg.vae, seed),
+        "unet": unet.init(cfg.unet, seed + 1),
+        "text_encoder": clip.init(cfg.clip, seed + 2),
+    }

@@ -1,0 +1,55 @@
+"""Attention front-end: one interface for every attention site in the stack.
+
+The reference runs attention through diffusers' AttnProcessor with two
+monkeypatches (reference replace.py:20-122): the spatial mask is
+nearest-resized to each attention resolution and injected as an additive
+pre-softmax bias via ``baddbmm(bias, Q, K^T, beta=1)``.  Its memory crutch is
+``SlicedAttnProcessor(slice_size=1)`` (sdmatte_nodes.py:331-337).
+
+TPU design: the bias here is always a **per-key vector** ``(B, Lk)`` broadcast
+over queries and heads (scores[b,h,q,k] = s·q·kᵀ + bias[b,k]).  That shape
+flows through both the XLA path and the Pallas flash kernel (O(L) memory, no
+slicing needed — 16,384-token attention runs whole on one chip).
+
+Shapes: q (B, H, Lq, D); k, v (B, H, Lk, D); bias (B, Lk) or None.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtypes import Policy, FP32
+
+_FLASH_MIN_SEQ = 1024  # below this the XLA path is faster than a kernel launch
+
+
+def attention_xla(q, k, v, *, scale: float, bias=None, accum_dtype=jnp.float32):
+    """Reference-faithful attention via plain XLA einsums, fp32 softmax."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * jnp.float32(scale)
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                   preferred_element_type=accum_dtype)
+    return o.astype(v.dtype)
+
+
+def attention(q, k, v, *, scale: float, bias=None, policy: Policy = FP32,
+              impl: str = "auto"):
+    """Dispatch between the Pallas flash kernel and the XLA fallback.
+
+    impl: 'auto' | 'xla' | 'flash'.  'auto' uses flash for long sequences on
+    TPU and XLA otherwise (tiny resolutions / CPU tests).
+    """
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        long_seq = q.shape[2] * k.shape[2] >= _FLASH_MIN_SEQ * _FLASH_MIN_SEQ
+        impl = "flash" if (on_tpu and long_seq) else "xla"
+    if impl == "flash":
+        from .flash_attention import flash_attention
+        return flash_attention(q, k, v, scale=scale, bias=bias,
+                               accum_dtype=policy.accum_dtype)
+    return attention_xla(q, k, v, scale=scale, bias=bias,
+                         accum_dtype=policy.accum_dtype)

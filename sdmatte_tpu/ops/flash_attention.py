@@ -1,0 +1,146 @@
+"""Pallas TPU flash attention with additive per-key bias.
+
+Replaces the reference's memory crutches for 16,384-token attention
+(SlicedAttnProcessor(slice_size=1) + fp16 autocast, reference
+sdmatte_nodes.py:331-337,355-358) with an O(L)-memory online-softmax kernel:
+the (L, L) score matrix is never materialized; Q/K/V tiles stream through
+VMEM and softmax statistics live in fp32 scratch (see
+/opt/skills/guides/boom_attention_tricks.md for the canonical tiling).
+
+Specialization for this model family: the mask bias is a **per-key vector**
+(B, Lk) — scores[b,h,q,k] = scale*q.k + bias[b,k] (reference replace.py:93-106
+injects it via baddbmm beta=1, broadcast over queries/heads).  The kernel
+streams one (1, block_k) bias tile per KV step; queries/heads broadcast free.
+
+Handles ragged sequence lengths (640px -> 6400 tokens etc.) by padding to
+block multiples; padded keys are masked with a large negative bias, padded
+query rows are sliced off after the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LANES = 128
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(x, m):
+    return _cdiv(x, m) * m
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *,
+            scale: float, nk: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                                   # (bq, d)
+    k = k_ref[0]                                   # (bk, d)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale
+    if bias_ref is not None:
+        s = s + bias_ref[0]                        # (1, bk) broadcast over rows
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "accum_dtype"))
+def flash_attention(q, k, v, *, scale: float, bias=None, block_q: int = 256,
+                    block_k: int = 512, accum_dtype=jnp.float32):
+    """q (B,H,Lq,D), k/v (B,H,Lk,D), bias (B,Lk) additive or None -> (B,H,Lq,D)."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    bq = min(block_q, _round_up(lq, _LANES))
+    bk = min(block_k, _round_up(lk, _LANES))
+    lq_p = _round_up(lq, bq)
+    lk_p = _round_up(lk, bk)
+
+    if lq_p != lq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, lq_p - lq), (0, 0)))
+    if lk_p != lk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, lk_p - lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, lk_p - lk), (0, 0)))
+        if bias is None:
+            bias = jnp.zeros((b, lk), jnp.float32)
+    if bias is not None:
+        bias = bias.astype(jnp.float32)
+        if lk_p != lk:
+            bias = jnp.pad(bias, ((0, 0), (0, lk_p - lk)),
+                           constant_values=MASK_VALUE)
+
+    qf = q.reshape(b * h, lq_p, d)
+    kf = k.reshape(b * h, lk_p, d)
+    vf = v.reshape(b * h, lk_p, d)
+    nq = lq_p // bq
+    nk = lk_p // bk
+    grid = (b * h, nq, nk)
+
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
+        pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),
+        pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),
+    ]
+    operands = [qf, kf, vf]
+    if bias is not None:
+        # (B, 1, Lk): keeps the trailing block dims (1, bk) TPU-tileable
+        in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda bh, qi, ki: (bh // h, 0, ki)))
+        operands.append(bias.reshape(b, 1, lk_p))
+        kern = functools.partial(_kernel, scale=scale, nk=nk)
+    else:
+        kern = functools.partial(
+            lambda qr, kr, vr, o, m, l, a, **kw: _kernel(qr, kr, vr, None, o, m, l, a, **kw),
+            scale=scale, nk=nk)
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, _LANES), jnp.float32),   # running max
+            pltpu.VMEM((bq, _LANES), jnp.float32),   # running sum
+            pltpu.VMEM((bq, d), jnp.float32),        # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(*operands)
+
+    out = out.reshape(b, h, lq_p, d)
+    if lq_p != lq:
+        out = out[:, :, :lq]
+    return out

@@ -1,0 +1,64 @@
+"""Flash-attention kernel parity vs the XLA reference path.
+
+CI runs the kernel in Pallas interpret mode on CPU with TINY shapes only —
+interpret mode executes the grid serially in Python and is extremely slow on
+the 1-core CI host.  Production shapes (16,384 tokens, head dims 64/512,
+bf16) are validated on real TPU hardware by ``python benchmarks/flash_check.py``
+(same kernel code, Mosaic-compiled), which bench.py also exercises.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from sdmatte_tpu.ops.attention import attention_xla
+from sdmatte_tpu.ops.flash_attention import flash_attention
+
+
+def _run(q, k, v, scale, bias=None):
+    with pltpu.force_tpu_interpret_mode():
+        return flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                               scale=scale,
+                               bias=None if bias is None else jnp.asarray(bias),
+                               block_q=128, block_k=128)
+
+
+def _make(rng, b, h, lq, lk, d):
+    q = rng.standard_normal((b, h, lq, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, lk, d), dtype=np.float32)
+    v = rng.standard_normal((b, h, lk, d), dtype=np.float32)
+    return q, k, v
+
+
+def test_flash_matches_xla_multiblock_bias(rng):
+    """One thorough case: 2 KV blocks, 2 Q blocks, per-key bias, 2 heads."""
+    b, h, lq, lk, d = 1, 2, 256, 256, 64
+    q, k, v = _make(rng, b, h, lq, lk, d)
+    bias = (rng.uniform(0, 1, (b, lk)) < 0.5).astype(np.float32) * -10000.0
+    scale = 1.0 / np.sqrt(d)
+    ref = attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        scale=scale, bias=jnp.asarray(bias))
+    got = _run(q, k, v, scale, bias=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_matches_xla_ragged(rng):
+    """Ragged lengths exercise the padding + mask path (e.g. 640px stages)."""
+    b, h, lq, lk, d = 1, 1, 100, 200, 64
+    q, k, v = _make(rng, b, h, lq, lk, d)
+    bias = (1.0 - rng.uniform(0, 1, (b, lk)).astype(np.float32)) * -10000.0
+    scale = 0.125
+    ref = attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        scale=scale, bias=jnp.asarray(bias))
+    got = _run(q, k, v, scale, bias=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_matches_xla_nobias_crossshape(rng):
+    b, h, lq, lk, d = 1, 1, 128, 256, 32
+    q, k, v = _make(rng, b, h, lq, lk, d)
+    scale = 1.0 / np.sqrt(d)
+    ref = attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale)
+    got = _run(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)

@@ -1,0 +1,94 @@
+"""End-to-end pipeline tests on the tiny config + postprocess math parity."""
+
+import numpy as np
+import torch
+import jax.numpy as jnp
+import pytest
+
+from sdmatte_tpu.configs import SDMatteConfig
+from sdmatte_tpu.models import sdmatte
+from sdmatte_tpu.pipeline import MattingPipeline, PipelineOptions
+from sdmatte_tpu.pipeline import postprocess
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    cfg = SDMatteConfig.tiny()
+    params = sdmatte.init(cfg, seed=0)
+    return MattingPipeline(params, cfg, attn_impl="xla")
+
+
+def _torch_refine(alpha, trimap, tc):
+    """Reference mask_refine math (sdmatte_nodes.py:365-380) in torch."""
+    alpha = torch.from_numpy(alpha.copy())
+    trimap = torch.from_numpy(trimap)
+    fg = trimap > tc
+    bg = trimap < (1.0 - tc)
+    unknown = ~(fg | bg)
+    out = alpha.clone()
+    out[bg] = 0.0
+    out[fg] = torch.clamp(out[fg] * 1.2, 0, 1)
+    out[(out < 0.3) & unknown] = 0.0
+    return out.numpy()
+
+
+def test_mask_refine_matches_reference_math(rng):
+    alpha = rng.uniform(0, 1, (2, 16, 16)).astype(np.float32)
+    trimap = rng.choice([0.0, 0.5, 1.0], (2, 16, 16)).astype(np.float32)
+    ours = postprocess.mask_refine(jnp.asarray(alpha), jnp.asarray(trimap), 0.8)
+    ref = _torch_refine(alpha, trimap, 0.8)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-6)
+
+
+def test_composite_modes(rng):
+    img = rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+    alpha = rng.uniform(0, 1, (1, 8, 8)).astype(np.float32)
+    tri = rng.choice([0.0, 0.5, 1.0], (1, 8, 8)).astype(np.float32)
+    ji, ja, jt = jnp.asarray(img), jnp.asarray(alpha), jnp.asarray(tri)
+
+    out = postprocess.composite(ji, ja, jt, "alpha_only")
+    np.testing.assert_array_equal(np.asarray(out), np.zeros_like(img))
+
+    out = postprocess.composite(ji, ja, jt, "matted_rgba")
+    assert out.shape == (1, 8, 8, 4)
+    np.testing.assert_allclose(np.asarray(out[..., 3]), alpha)
+    np.testing.assert_allclose(np.asarray(out[..., :3]), img)
+
+    out = postprocess.composite(ji, ja, jt, "matted_rgb")
+    fg = ((tri[..., None] > 0.2) & (alpha[..., None] > 0.1)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(out), img * fg)
+
+    out = postprocess.composite(ji, ja, jt, "alpha_blend")
+    np.testing.assert_allclose(np.asarray(out), img * alpha[..., None], atol=1e-6)
+
+
+def test_pipeline_end_to_end(tiny_pipe, rng):
+    img = rng.uniform(0, 1, (1, 96, 80, 3)).astype(np.float32)
+    tri = rng.choice([0.0, 0.5, 1.0], (1, 96, 80)).astype(np.float32)
+    opts = PipelineOptions(inference_size=64, output_mode="matted_rgba",
+                           mask_refine=True, trimap_constraint=0.8)
+    alpha, matted = tiny_pipe(img, tri, options=opts)
+    assert alpha.shape == (1, 96, 80)
+    assert matted.shape == (1, 96, 80, 4)
+    a = np.asarray(alpha)
+    assert np.isfinite(a).all() and a.min() >= 0.0 and a.max() <= 1.0
+    # refinement invariant: confident-background pixels are forced to 0
+    assert np.abs(a[tri < 0.2]).max() == 0.0
+
+
+def test_pipeline_unbatched_input(tiny_pipe, rng):
+    img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    tri = np.ones((64, 64), np.float32)
+    opts = PipelineOptions(inference_size=64, mask_refine=False)
+    alpha, matted = tiny_pipe(img, tri, options=opts)
+    assert alpha.shape == (1, 64, 64)
+
+
+def test_pipeline_executable_cache(tiny_pipe, rng):
+    img = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    tri = np.ones((1, 64, 64), np.float32)
+    opts = PipelineOptions(inference_size=64, mask_refine=False)
+    tiny_pipe(img, tri, options=opts)
+    before = tiny_pipe._compiled.cache_info().hits
+    tiny_pipe(img, tri, options=opts)
+    assert tiny_pipe._compiled.cache_info().hits == before + 1
