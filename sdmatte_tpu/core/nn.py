@@ -24,11 +24,14 @@ from .dtypes import Policy, FP32
 
 
 def linear(p, x, policy: Policy = FP32):
+    """Matmul in compute dtype with fp32 MXU accumulation; the result is cast
+    back to the compute dtype so activations never persist at fp32 under a
+    bf16 policy (HBM footprint + fusion)."""
     k = p["kernel"].astype(policy.compute_dtype)
     y = jnp.dot(policy.cast_compute(x), k, preferred_element_type=policy.accum_dtype)
     if "bias" in p:
         y = y + p["bias"].astype(policy.accum_dtype)
-    return y
+    return y.astype(policy.compute_dtype)
 
 
 def conv2d(p, x, *, stride: int = 1, padding=1, policy: Policy = FP32):
@@ -49,7 +52,7 @@ def conv2d(p, x, *, stride: int = 1, padding=1, policy: Policy = FP32):
     )
     if "bias" in p:
         y = y + p["bias"].astype(policy.accum_dtype)
-    return y
+    return y.astype(policy.compute_dtype)
 
 
 def group_norm(p, x, *, groups: int = 32, eps: float = 1e-5):

@@ -71,13 +71,19 @@ def forward(
     rgb = data["image"]
     b = rgb.shape[0]
 
-    # -- aux latent (deterministic encode) --------------------------------
+    # -- latents (deterministic encode) ------------------------------------
+    # The reference encodes rgb and the aux mask in two separate VAE passes
+    # (meta_arch.py:142-145, 209-212); numerically identical but cheaper on
+    # TPU as ONE batched pass: concat on the batch axis -> bigger matmuls,
+    # one kernel schedule, half the dispatches.
     aux_latent = None
     if cfg.use_aux_input:
         aux = data[aux_type]
         aux3 = jnp.repeat(aux, 3, axis=-1).astype(rgb.dtype)
-        aux_latent = vae.encode(params["vae"], aux3, cfg.vae, policy=policy,
-                                attn_impl=attn_impl)
+        both = jnp.concatenate([rgb, aux3], axis=0)
+        lat = vae.encode(params["vae"], both, cfg.vae, policy=policy,
+                         attn_impl=attn_impl)
+        rgb_latent, aux_latent = lat[:b], lat[b:]
 
     # -- coordinate conditioning ------------------------------------------
     coords = data[AUX_INPUT_COORDS[aux_type]]
@@ -91,9 +97,10 @@ def forward(
         m = resize_nearest(m, s // 8, s // 8)
         attention_mask = m.reshape(b, -1)
 
-    # -- rgb latent --------------------------------------------------------
-    rgb_latent = vae.encode(params["vae"], rgb, cfg.vae, policy=policy,
-                            attn_impl=attn_impl)
+    # -- rgb latent (only when no aux input shared the batched encode) -----
+    if aux_latent is None:
+        rgb_latent = vae.encode(params["vae"], rgb, cfg.vae, policy=policy,
+                                attn_impl=attn_impl)
 
     # -- cross-attention contexts -----------------------------------------
     aux_tokens = None

@@ -77,8 +77,8 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
                                              "accum_dtype"))
-def flash_attention(q, k, v, *, scale: float, bias=None, block_q: int = 256,
-                    block_k: int = 512, accum_dtype=jnp.float32):
+def flash_attention(q, k, v, *, scale: float, bias=None, block_q: int = 512,
+                    block_k: int = 1024, accum_dtype=jnp.float32):
     """q (B,H,Lq,D), k/v (B,H,Lk,D), bias (B,Lk) additive or None -> (B,H,Lq,D)."""
     b, h, lq, d = q.shape
     lk = k.shape[2]

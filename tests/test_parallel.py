@@ -1,0 +1,88 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4.5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdmatte_tpu.configs import SDMatteConfig
+from sdmatte_tpu.models import sdmatte
+from sdmatte_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from sdmatte_tpu.parallel import train as ptrain
+from sdmatte_tpu.parallel.video import matte_video
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = SDMatteConfig.tiny()
+    return cfg, sdmatte.init(cfg, seed=0)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_video_matting_sharded(tiny):
+    cfg, params = tiny
+    mesh = make_mesh(8)
+    t, s = 8, 64
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(-1, 1, (t, s, s, 3)), jnp.float32)
+    tris = jnp.asarray(rng.uniform(-1, 1, (t, s, s, 1)), jnp.float32)
+    alpha = matte_video(params, cfg, frames, tris, mesh=mesh, attn_impl="xla")
+    assert alpha.shape == (t, s, s, 1)
+    assert np.isfinite(np.asarray(alpha)).all()
+    # per-frame sharding over the data axis
+    shard_shapes = {tuple(sh.data.shape) for sh in alpha.addressable_shards}
+    assert shard_shapes == {(1, s, s, 1)}
+
+
+def test_video_matting_replicated_conditioning_consistent(tiny):
+    """Sharded result == single-device result (collective-free parallel map)."""
+    cfg, params = tiny
+    t, s = 8, 64
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(rng.uniform(-1, 1, (t, s, s, 3)), jnp.float32)
+    tris = jnp.asarray(rng.uniform(-1, 1, (t, s, s, 1)), jnp.float32)
+    a_sharded = matte_video(params, cfg, frames, tris, mesh=make_mesh(8),
+                            attn_impl="xla")
+    a_single = matte_video(params, cfg, frames, tris, mesh=None,
+                           attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(a_sharded), np.asarray(a_single),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_train_step_dp(tiny):
+    cfg, params = tiny
+    mesh = make_mesh(8)
+    tx, opt_state = ptrain.init_train_state(params, learning_rate=1e-3)
+    b, s = 8, 64
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.uniform(-1, 1, (b, s, s, 3)), jnp.float32),
+        "trimap": jnp.asarray(rng.uniform(-1, 1, (b, s, s, 1)), jnp.float32),
+        "trimap_coords": jnp.tile(jnp.asarray([[0.0, 0.0, 1.0, 1.0]],
+                                              jnp.float32), (b, 1)),
+        "is_trans": jnp.zeros((b,), jnp.float32),
+        "alpha_gt": jnp.asarray(rng.uniform(0, 1, (b, s, s, 1)), jnp.float32),
+    }
+    params_r = replicate(params, mesh)
+    opt_r = replicate(opt_state, mesh)
+    batch_s = shard_batch(batch, mesh)
+    step = ptrain.make_sharded_train_step(mesh, cfg, tx)
+    new_params, new_opt, loss = step(params_r, opt_r, batch_s)
+    assert np.isfinite(float(loss))
+    # params actually changed
+    before = np.asarray(params["unet"]["conv_in"]["kernel"])
+    after = np.asarray(new_params["unet"]["conv_in"]["kernel"])
+    assert np.abs(before - after).max() > 0.0
+
+
+def test_uncertainty_weight_band():
+    """In-graph analogue of the reference's dilated uncertainty band."""
+    alpha = np.zeros((1, 32, 32, 1), np.float32)
+    alpha[0, 16, 16, 0] = 0.5  # one uncertain pixel
+    w = np.asarray(ptrain.uncertainty_weight(jnp.asarray(alpha), width=7))
+    assert w[0, 16, 16, 0] == 1.0
+    assert w[0, 16, 19, 0] == 1.0     # inside the 7-wide dilation
+    assert w[0, 16, 25, 0] == 0.0     # outside
