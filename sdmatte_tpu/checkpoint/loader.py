@@ -167,8 +167,31 @@ def read_safetensors(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def read_torch_pickle(path: str) -> Dict[str, np.ndarray]:
+    """Legacy ``.pth`` checkpoints (the reference README claims historical
+    .pth support though its shipped path is safetensors-only — SURVEY.md §5).
+    Unwraps the same nested candidate keys the reference probes
+    (sdmatte_nodes.py:307-319)."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict):
+        for k in ("state_dict", "model_state_dict", "params", "weights",
+                  "ema", "model_ema", "ema_state_dict", "net", "module",
+                  "model", "unet"):
+            inner = obj.get(k)
+            if isinstance(inner, dict):
+                obj = inner
+                break
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in obj.items()}
+
+
 def load_sdmatte_checkpoint(params: dict, ckpt_path: str, *,
                             dtype: Optional[jnp.dtype] = None) -> Tuple[dict, LoadReport]:
-    """Load SDMatte(.plus).safetensors into a full meta-arch param tree."""
-    tensors = read_safetensors(ckpt_path)
+    """Load SDMatte(.plus) weights (.safetensors or legacy .pth) into a full
+    meta-arch param tree."""
+    if ckpt_path.endswith((".pth", ".pt", ".bin", ".ckpt")):
+        tensors = read_torch_pickle(ckpt_path)
+    else:
+        tensors = read_safetensors(ckpt_path)
     return load_into_tree(params, tensors, dtype=dtype)

@@ -156,6 +156,30 @@ class CLIPTextConfig:
                    intermediate_size=64)
 
 
+# -------------------------------------------------------------- scheduler ---
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    """DDIM scheduler config — parsed for checkpoint/config-set compatibility
+    only.  The reference loads a DDIMScheduler but never invokes it: the model
+    is a single deterministic pass with add_noise=False (reference
+    meta_arch.py:92,120-121; SURVEY.md §7 quirks)."""
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    prediction_type: str = "epsilon"
+    steps_offset: int = 1
+    clip_sample: bool = False
+
+    @classmethod
+    def from_json(cls, path: str) -> "SchedulerConfig":
+        with open(path) as f:
+            d = json.load(f)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+
 # --------------------------------------------------------------- SDMatte ---
 
 @dataclasses.dataclass(frozen=True)
@@ -165,6 +189,7 @@ class SDMatteConfig:
     vae: VAEConfig = dataclasses.field(default_factory=VAEConfig)
     unet: UNetConfig = dataclasses.field(default_factory=UNetConfig)
     clip: CLIPTextConfig = dataclasses.field(default_factory=CLIPTextConfig)
+    scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
     aux_input: str = "trimap"
     use_aux_input: bool = True
     use_coor_input: bool = True
@@ -183,10 +208,14 @@ class SDMatteConfig:
             direct = os.path.join(base_dir, sub, fname)
             nested = os.path.join(base_dir, sub, sub, fname)
             return direct if os.path.exists(direct) else nested
+        sched_path = resolve("scheduler", "scheduler_config.json")
+        sched = (SchedulerConfig.from_json(sched_path)
+                 if os.path.exists(sched_path) else SchedulerConfig())
         return cls(
             vae=VAEConfig.from_json(resolve("vae", "config.json")),
             unet=UNetConfig.from_json(resolve("unet", "config.json")),
             clip=CLIPTextConfig.from_json(resolve("text_encoder", "config.json")),
+            scheduler=sched,
             **overrides,
         )
 

@@ -1,0 +1,133 @@
+"""Node API surface + prompt paths + compat loaders."""
+
+import json
+import os
+
+import numpy as np
+import torch
+import jax.numpy as jnp
+import pytest
+
+from sdmatte_tpu.configs import SDMatteConfig, SchedulerConfig
+from sdmatte_tpu.models import sdmatte
+from sdmatte_tpu.pipeline import MattingPipeline, PipelineOptions
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    cfg = SDMatteConfig.tiny()
+    params = sdmatte.init(cfg, seed=0)
+    return MattingPipeline(params, cfg, attn_impl="xla")
+
+
+# ------------------------------------------------------------ node schema ---
+
+def test_input_types_schema_is_reference_compatible():
+    from sdmatte_tpu.api.node import SDMatteApply
+    t = SDMatteApply.INPUT_TYPES()
+    req = t["required"]
+    assert list(req["ckpt_name"][0]) == ["SDMatte.safetensors",
+                                         "SDMatte_plus.safetensors"]
+    assert req["image"][0] == "IMAGE"
+    assert req["trimap"][0] == "MASK"
+    assert req["inference_size"][0] == [512, 640, 768, 896, 1024]
+    assert req["inference_size"][1]["default"] == 1024
+    assert req["output_mode"][0] == ["alpha_only", "matted_rgba", "matted_rgb"]
+    assert req["output_mode"][1]["default"] == "alpha_only"
+    assert req["mask_refine"][1]["default"] is True
+    tc = req["trimap_constraint"][1]
+    assert (tc["default"], tc["min"], tc["max"], tc["step"]) == (0.8, 0.1, 1.0, 0.1)
+    assert t["optional"]["force_cpu"][0] == "BOOLEAN"
+    assert SDMatteApply.RETURN_TYPES == ("MASK", "IMAGE")
+    assert SDMatteApply.RETURN_NAMES == ("alpha_mask", "matted_image")
+    assert SDMatteApply.FUNCTION == "apply_matte"
+    assert SDMatteApply.CATEGORY == "Matting/SDMatte"
+
+
+def test_node_apply_matte_with_torch_tensors(tiny_pipe, monkeypatch):
+    """Drive the node exactly as ComfyUI would (torch in, torch out)."""
+    from sdmatte_tpu.api import node as node_mod
+    monkeypatch.setattr(node_mod, "get_pipeline", lambda *a, **k: tiny_pipe)
+    node = node_mod.SDMatteApply()
+    img = torch.rand(1, 96, 80, 3)
+    tri = torch.rand(1, 96, 80)
+    alpha, matted = node.apply_matte(
+        "SDMatte.safetensors", img, tri, 64, False, "matted_rgb", True, 0.8)
+    assert isinstance(alpha, torch.Tensor) and isinstance(matted, torch.Tensor)
+    assert alpha.shape == (1, 96, 80)
+    assert matted.shape == (1, 96, 80, 3)
+
+
+# ----------------------------------------------------------- prompt paths ---
+
+@pytest.mark.parametrize("aux,coords_shape", [
+    ("point_mask", (1, 10)),     # 5 points (x,y) flattened
+    ("bbox_mask", (1, 4)),
+    ("mask", (1, 4)),
+    ("auto_mask", (1, 4)),
+])
+def test_pipeline_visual_prompt_paths(tiny_pipe, rng, aux, coords_shape):
+    """Full upstream prompt API beyond trimap (BASELINE config 4)."""
+    img = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    mask = rng.uniform(0, 1, (1, 64, 64)).astype(np.float32)
+    coords = rng.uniform(0, 1, coords_shape).astype(np.float32)
+    opts = PipelineOptions(inference_size=64, aux_input=aux, mask_refine=False)
+    alpha, _ = tiny_pipe(img, mask, options=opts, coords=coords)
+    assert alpha.shape == (1, 64, 64)
+    assert np.isfinite(np.asarray(alpha)).all()
+
+
+# ---------------------------------------------------------------- compat ---
+
+def test_pth_checkpoint_loading(tmp_path):
+    from sdmatte_tpu.checkpoint import loader
+    from sdmatte_tpu.checkpoint.toy import tree_to_torch_state_dict
+    cfg = SDMatteConfig.tiny()
+    params = sdmatte.init(cfg, seed=1)
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in tree_to_torch_state_dict(params).items()}
+    p = str(tmp_path / "legacy.pth")
+    torch.save({"state_dict": sd}, p)
+    fresh = sdmatte.init(cfg, seed=2)
+    loaded, report = loader.load_sdmatte_checkpoint(fresh, p)
+    assert report.missing == [] and report.unexpected == []
+    np.testing.assert_array_equal(
+        np.asarray(loaded["unet"]["conv_in"]["kernel"]),
+        np.asarray(params["unet"]["conv_in"]["kernel"]))
+
+
+def test_scheduler_config_parse(tmp_path):
+    p = tmp_path / "scheduler_config.json"
+    p.write_text(json.dumps({"num_train_timesteps": 1000,
+                             "beta_schedule": "scaled_linear",
+                             "prediction_type": "v_prediction",
+                             "unknown_field": 42}))
+    sc = SchedulerConfig.from_json(str(p))
+    assert sc.prediction_type == "v_prediction"
+    assert sc.num_train_timesteps == 1000
+
+
+def test_config_roundtrip_from_pretrained_dir(tmp_path):
+    base = tmp_path / "sd21"
+    for sub, fname, payload in [
+        ("vae", "config.json", {"block_out_channels": [8, 16, 16, 16],
+                                "norm_num_groups": 4, "layers_per_block": 1}),
+        ("unet", "config.json", {"block_out_channels": [16, 24, 32, 32],
+                                 "cross_attention_dim": 32,
+                                 "attention_head_dim": [2, 2, 4, 4],
+                                 "norm_num_groups": 8}),
+        ("text_encoder", "config.json", {"hidden_size": 32,
+                                         "num_hidden_layers": 2,
+                                         "num_attention_heads": 4,
+                                         "intermediate_size": 64,
+                                         "vocab_size": 1000}),
+        ("scheduler", "scheduler_config.json", {"steps_offset": 1}),
+    ]:
+        d = base / sub
+        d.mkdir(parents=True, exist_ok=True)
+        (d / fname).write_text(json.dumps(payload))
+    cfg = SDMatteConfig.from_pretrained_dir(str(base))
+    assert cfg.vae.block_out_channels == (8, 16, 16, 16)
+    assert cfg.unet.cross_attention_dim == 32
+    assert cfg.clip.num_layers == 2
+    assert cfg.scheduler.steps_offset == 1
