@@ -50,6 +50,20 @@ def _coords_embed(cfg: SDMatteConfig, aux_type: str, coords: jnp.ndarray,
     return {"bbox_mask_coords": emb.reshape(b, -1)}
 
 
+def _chunked(fn, x, chunk: Optional[int]):
+    """Apply ``fn`` over the batch axis in ``chunk``-sized groups via lax.map:
+    caps peak activation memory for the huge pixel-space VAE stages so large
+    batches fit HBM (XLA compiles the body once).  Falls back to a single
+    pass when the batch doesn't divide."""
+    b = x.shape[0]
+    if not chunk or b <= chunk or b % chunk != 0:
+        return fn(x)
+    import jax
+    xs = x.reshape(b // chunk, chunk, *x.shape[1:])
+    ys = jax.lax.map(fn, xs)
+    return ys.reshape(b, *ys.shape[2:])
+
+
 def forward(
     params,
     cfg: SDMatteConfig,
@@ -58,6 +72,7 @@ def forward(
     aux_input_type: Optional[str] = None,
     policy: Policy = FP32,
     attn_impl: str = "auto",
+    vae_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """data keys (NHWC, all jnp):
       image        (B, S, S, 3) in [-1,1]
@@ -81,8 +96,10 @@ def forward(
         aux = data[aux_type]
         aux3 = jnp.repeat(aux, 3, axis=-1).astype(rgb.dtype)
         both = jnp.concatenate([rgb, aux3], axis=0)
-        lat = vae.encode(params["vae"], both, cfg.vae, policy=policy,
-                         attn_impl=attn_impl)
+        lat = _chunked(
+            lambda x: vae.encode(params["vae"], x, cfg.vae, policy=policy,
+                                 attn_impl=attn_impl),
+            both, vae_chunk)
         rgb_latent, aux_latent = lat[:b], lat[b:]
 
     # -- coordinate conditioning ------------------------------------------
@@ -132,8 +149,10 @@ def forward(
     # -- decode + alpha head ----------------------------------------------
     z = label_latent.astype(policy.compute_dtype) / jnp.asarray(
         cfg.vae.scaling_factor, policy.compute_dtype)
-    decoded = vae.decode(params["vae"], z, cfg.vae, policy=policy,
-                         attn_impl=attn_impl)
+    decoded = _chunked(
+        lambda zz: vae.decode(params["vae"], zz, cfg.vae, policy=policy,
+                              attn_impl=attn_impl),
+        z, vae_chunk)
     alpha = jnp.mean(decoded.astype(jnp.float32), axis=-1, keepdims=True)
     alpha = jnp.clip(alpha, -1.0, 1.0)
     return (alpha + 1.0) * 0.5

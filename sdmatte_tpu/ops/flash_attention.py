@@ -75,15 +75,31 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *,
         o_ref[0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
 
 
+def _auto_blocks(lq: int, lk: int, d: int):
+    """Measured on v5e (benchmarks/flash_check.py sweep): throughput rises
+    with KV-tile size until VMEM pressure; bq=512 beats smaller q tiles.
+    bk=2048 only when it divides Lk (padding waste otherwise) and the head is
+    narrow enough to keep K/V tiles + fp32 scores inside VMEM."""
+    bq = 512
+    if lk % 2048 == 0 and d <= 128:
+        bk = 2048
+    else:
+        bk = 1024
+    return bq, bk
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
                                              "accum_dtype"))
-def flash_attention(q, k, v, *, scale: float, bias=None, block_q: int = 512,
-                    block_k: int = 1024, accum_dtype=jnp.float32):
-    """q (B,H,Lq,D), k/v (B,H,Lk,D), bias (B,Lk) additive or None -> (B,H,Lq,D)."""
+def flash_attention(q, k, v, *, scale: float, bias=None, block_q: int = 0,
+                    block_k: int = 0, accum_dtype=jnp.float32):
+    """q (B,H,Lq,D), k/v (B,H,Lk,D), bias (B,Lk) additive or None -> (B,H,Lq,D).
+
+    block_q/block_k of 0 mean "auto" (v5e-tuned heuristics)."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    bq = min(block_q, _round_up(lq, _LANES))
-    bk = min(block_k, _round_up(lk, _LANES))
+    abq, abk = _auto_blocks(lq, lk, d)
+    bq = min(block_q or abq, _round_up(lq, _LANES))
+    bk = min(block_k or abk, _round_up(lk, _LANES))
     lq_p = _round_up(lq, bq)
     lk_p = _round_up(lk, bk)
 

@@ -49,11 +49,18 @@ class PipelineOptions:
 
 class MattingPipeline:
     def __init__(self, params, cfg: SDMatteConfig, *, policy: Policy = FP32,
-                 attn_impl: str = "auto", tokenizer=None):
+                 attn_impl: str = "auto", tokenizer=None,
+                 vae_chunk: Optional[int] = None):
         self.cfg = cfg
         self.policy = policy
         self.attn_impl = attn_impl
         self.tokenizer = tokenizer
+        # Optional: run pixel-space VAE stages in <=vae_chunk-image lax.map
+        # groups.  Caps peak HBM for very large batches, but measured ~2x
+        # slower at b8@1024 on v5e (map serializes and defeats XLA's
+        # cross-stage scheduling) — so OFF by default; enable only when a
+        # batch otherwise OOMs.
+        self.vae_chunk = vae_chunk
         # move params to device once, in compute dtype for the big tensors
         self.params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, policy.param_dtype), params)
@@ -84,7 +91,8 @@ class MattingPipeline:
 
         alpha = sdmatte.forward(params, self.cfg, data,
                                 aux_input_type=aux_type, policy=pol,
-                                attn_impl=self.attn_impl)
+                                attn_impl=self.attn_impl,
+                                vae_chunk=self.vae_chunk)
         # resize back to original resolution (reference sdmatte_nodes.py:362)
         alpha = imaging.resize_bilinear(alpha.astype(jnp.float32), oh, ow,
                                         antialias=True)

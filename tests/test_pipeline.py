@@ -84,6 +84,28 @@ def test_pipeline_unbatched_input(tiny_pipe, rng):
     assert alpha.shape == (1, 64, 64)
 
 
+def test_vae_chunking_matches_unchunked(rng):
+    """lax.map-chunked VAE stages must be numerically identical."""
+    from sdmatte_tpu.configs import SDMatteConfig
+    from sdmatte_tpu.models import sdmatte
+    cfg = SDMatteConfig.tiny()
+    params = sdmatte.init(cfg, seed=0)
+    import jax
+    b, s = 4, 64
+    data = {
+        "image": jnp.asarray(rng.uniform(-1, 1, (b, s, s, 3)), jnp.float32),
+        "trimap": jnp.asarray(rng.uniform(-1, 1, (b, s, s, 1)), jnp.float32),
+        "trimap_coords": jnp.tile(jnp.asarray([[0.0, 0.0, 1.0, 1.0]]), (b, 1)),
+        "is_trans": jnp.zeros((b,), jnp.float32),
+    }
+    f_chunk = jax.jit(lambda p, d: sdmatte.forward(p, cfg, d, attn_impl="xla",
+                                                   vae_chunk=2))
+    f_full = jax.jit(lambda p, d: sdmatte.forward(p, cfg, d, attn_impl="xla"))
+    np.testing.assert_allclose(np.asarray(f_chunk(params, data)),
+                               np.asarray(f_full(params, data)),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_pipeline_executable_cache(tiny_pipe, rng):
     img = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
     tri = np.ones((1, 64, 64), np.float32)
