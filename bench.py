@@ -56,7 +56,7 @@ def main():
     p50_1024 = bench(1024, 1)
     # throughput: sweep batch sizes — large batches can exceed HBM and spill
     best_tp, best_batch, per_batch = 1.0 / p50_1024, 1, {}
-    for batch in (4, 8, 16):
+    for batch in (4, 8):  # b>=12 exceeds 16G HBM at 1024px (measured)
         try:
             t = bench(1024, batch, iters=3)
         except Exception as e:

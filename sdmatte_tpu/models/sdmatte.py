@@ -73,7 +73,8 @@ def forward(
     policy: Policy = FP32,
     attn_impl: str = "auto",
     vae_chunk: Optional[int] = None,
-) -> jnp.ndarray:
+    return_intermediates: bool = False,
+):
     """data keys (NHWC, all jnp):
       image        (B, S, S, 3) in [-1,1]
       <aux_type>   (B, S, S, 1) in [-1,1]  (trimap / point_mask / bbox_mask / mask)
@@ -155,7 +156,17 @@ def forward(
         z, vae_chunk)
     alpha = jnp.mean(decoded.astype(jnp.float32), axis=-1, keepdims=True)
     alpha = jnp.clip(alpha, -1.0, 1.0)
-    return (alpha + 1.0) * 0.5
+    alpha = (alpha + 1.0) * 0.5
+    if return_intermediates:
+        # golden-activation hooks (SURVEY.md §4.2 module-parity strategy)
+        return alpha, {
+            "rgb_latent": rgb_latent,
+            "aux_latent": aux_latent,
+            "aux_tokens": aux_tokens,
+            "unet_out": label_latent,
+            "decoded": decoded,
+        }
+    return alpha
 
 
 def init(cfg: SDMatteConfig, seed: int = 0):
