@@ -1,6 +1,9 @@
-"""Toy-checkpoint generator: writes a torch-layout safetensors file from a
-param tree (the inverse of loader._convert).  Gives CI a real end-to-end
-checkpoint path without 11 GB weights (SURVEY.md §4.3)."""
+"""Checkpoint writer: param tree -> torch-layout safetensors.
+
+Two uses: (a) toy checkpoints for CI without 11 GB weights (SURVEY.md §4.3),
+and (b) saving fine-tuned params from parallel/train in the SAME format the
+reference ecosystem consumes — a round-trip the reference itself never had
+(inference-only, SURVEY.md §5 checkpoint/resume)."""
 
 from __future__ import annotations
 
@@ -36,3 +39,7 @@ def tree_to_torch_state_dict(params: dict) -> Dict[str, np.ndarray]:
 def save_toy_checkpoint(params: dict, path: str):
     from safetensors.numpy import save_file
     save_file(tree_to_torch_state_dict(params), path)
+
+
+# canonical name for the production save path (same implementation)
+save_sdmatte_checkpoint = save_toy_checkpoint
