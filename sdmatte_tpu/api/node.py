@@ -26,6 +26,14 @@ from ..pipeline import MattingPipeline, PipelineOptions
 
 _PIPELINE_CACHE: dict = {}
 
+# Register the SDMatte model dir with the host path system at import time —
+# same side effect as the reference plugin's module import
+# (reference sdmatte_nodes.py:9-12).
+try:
+    comfy_shim.register_default_dirs()
+except Exception:
+    pass
+
 
 def _resolve_config_dir() -> Optional[str]:
     """Find a local SD2.1 config dir in registered diffusers paths; try the
