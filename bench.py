@@ -32,13 +32,13 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    def bench(size, batch, iters=8, warmup=2):
+    def bench(size, batch, iters=8, warmup=2, output_mode="alpha_only"):
         # inputs pre-staged on device: we measure chip compute, not the dev
         # tunnel's host->device bandwidth (irrelevant on a real v5e host)
         img = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 3)).astype(np.float32))
         tri = jnp.asarray(rng.uniform(0, 1, (batch, size, size)).astype(np.float32))
         jax.block_until_ready((img, tri))
-        opts = PipelineOptions(inference_size=size, output_mode="alpha_only",
+        opts = PipelineOptions(inference_size=size, output_mode=output_mode,
                                mask_refine=True)
         times = []
         for i in range(warmup + iters):
@@ -53,6 +53,7 @@ def main():
         return float(np.percentile(times, 50))
 
     p50_512 = bench(512, 1)
+    p50_768 = bench(768, 1, iters=4, output_mode="matted_rgba")  # BASELINE cfg 2
     p50_1024 = bench(1024, 1)
     # throughput: sweep batch sizes — large batches can exceed HBM and spill
     best_tp, best_batch, per_batch = 1.0 / p50_1024, 1, {}
@@ -74,6 +75,7 @@ def main():
         "unit": "mattes/s",
         "vs_baseline": round(throughput / baseline_throughput, 3),
         "p50_latency_512px_ms": round(p50_512 * 1e3, 1),
+        "p50_latency_768px_rgba_ms": round(p50_768 * 1e3, 1),
         "p50_latency_1024px_ms": round(p50_1024 * 1e3, 1),
         "best_batch": best_batch,
         "throughput_per_batch": per_batch,

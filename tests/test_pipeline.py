@@ -106,6 +106,43 @@ def test_vae_chunking_matches_unchunked(rng):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_pipeline_caption_path(rng, tmp_path):
+    """Text-conditioned gating end-to-end: tokenizer -> CLIP -> mid stage."""
+    import json
+    import dataclasses
+    from sdmatte_tpu.configs import SDMatteConfig, UNetConfig
+    from sdmatte_tpu.models import sdmatte
+    from sdmatte_tpu.models.tokenizer import CLIPTokenizer
+
+    base = SDMatteConfig.tiny()
+    unet_kw = {f.name: getattr(base.unet, f.name)
+               for f in dataclasses.fields(base.unet)}
+    unet_kw["use_encoder_hidden_states_list"] = (True, False, True)
+    cfg = dataclasses.replace(base, unet=UNetConfig(**unet_kw))
+
+    # toy vocab covering 'hello'
+    vocab = {}
+    for ch in "helo!":
+        vocab[ch] = len(vocab)
+        vocab[ch + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+    # keep ids inside the tiny CLIP vocab (1000)
+    tok = CLIPTokenizer(str(tmp_path / "vocab.json"),
+                        str(tmp_path / "merges.txt"), pad_token="!")
+
+    params = sdmatte.init(cfg, seed=0)
+    pipe = MattingPipeline(params, cfg, attn_impl="xla", tokenizer=tok)
+    img = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    tri = np.ones((1, 64, 64), np.float32)
+    opts = PipelineOptions(inference_size=64, mask_refine=False)
+    alpha, _ = pipe(img, tri, options=opts, caption=["hello"])
+    assert alpha.shape == (1, 64, 64)
+    assert np.isfinite(np.asarray(alpha)).all()
+
+
 def test_pipeline_executable_cache(tiny_pipe, rng):
     img = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
     tri = np.ones((1, 64, 64), np.float32)
