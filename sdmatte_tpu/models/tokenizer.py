@@ -35,26 +35,18 @@ def _bytes_to_unicode():
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+# HF's pattern uses the regex-module classes \p{L}/\p{N}; stdlib-re
+# equivalents: [^\W\d_]+ == unicode-letter runs, \d == single digit,
+# (?:[^\w\s]|_)+ == punctuation runs (underscore is punctuation for CLIP).
 _PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\s\w]|\w+""",
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+    r"""|[^\W\d_]+|\d|(?:[^\w\s]|_)+""",
     re.IGNORECASE,
 )
-# NOTE: python re lacks \p{L}/\p{N}; \w+ over-merges letters+digits vs HF's
-# regex-module pattern.  _split() post-splits digit runs to restore HF's
-# per-digit tokens and letter/digit boundaries.
-_DIGIT_SPLIT = re.compile(r"\d|[^\d]+")
 
 
 def _split_words(text: str) -> List[str]:
-    out = []
-    for tok in _PAT.findall(text):
-        if tok in ("<|startoftext|>", "<|endoftext|>"):
-            out.append(tok)
-        elif any(ch.isdigit() for ch in tok):
-            out.extend(_DIGIT_SPLIT.findall(tok))
-        else:
-            out.append(tok)
-    return out
+    return _PAT.findall(text)
 
 
 def _whitespace_clean(text: str) -> str:
@@ -78,6 +70,7 @@ class CLIPTokenizer:
         self.model_max_length = model_max_length
         self.bos_token_id = self.encoder.get("<|startoftext|>", 49406)
         self.eos_token_id = self.encoder.get("<|endoftext|>", 49407)
+        self.unk_token_id = self.eos_token_id  # HF CLIP: unk == endoftext
         self.pad_token = pad_token
         self.pad_token_id = self.encoder.get(pad_token, 0)
         # HF registers the pad token as an added special token, matched
@@ -156,7 +149,8 @@ class CLIPTokenizer:
             seg = _whitespace_clean(html.unescape(seg)).lower()
             for tok in _split_words(seg):
                 tok_bytes = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
-                ids.extend(self.encoder[t] for t in self._bpe(tok_bytes).split(" "))
+                ids.extend(self.encoder.get(t, self.unk_token_id)
+                           for t in self._bpe(tok_bytes).split(" "))
         return ids
 
     def __call__(self, prompts: Sequence[str] | str):

@@ -81,6 +81,9 @@ def toy_vocab(tmp_path_factory):
     "matting  with   spaces",
     "HELLO World",
     "cat41dog",
+    "cat,,.world",        # punctuation runs stay one token (HF \p-class runs)
+    "a_cat",              # underscore is punctuation for CLIP, not \w
+    "it's the cat's",     # contraction suffixes
 ])
 def test_tokenizer_matches_transformers(toy_vocab, text):
     from transformers import CLIPTokenizer as HFTok
