@@ -56,16 +56,32 @@ def conv2d(p, x, *, stride: int = 1, padding=1, policy: Policy = FP32):
 
 
 def group_norm(p, x, *, groups: int = 32, eps: float = 1e-5):
-    """GroupNorm over NHWC; statistics in fp32 (TPU numerics rule)."""
+    """GroupNorm over NHWC; statistics in fp32 (TPU numerics rule).
+
+    Layout note: the big (B,H,W,C) tensor is never reshaped — reshaping C
+    into (groups, C/groups) would split the TPU lane dimension into 4-wide
+    slivers.  Stats reduce over (H,W) per channel first (native layout), then
+    group-combine on the tiny (B,C) array; normalization broadcasts per
+    channel."""
     b, h, w, c = x.shape
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32).reshape(b, h * w, groups, c // groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
-    xf = (xf - mean) * lax.rsqrt(var + eps)
-    xf = xf.reshape(b, h, w, c)
-    xf = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return xf.astype(orig_dtype)
+    cg = c // groups
+    # per-channel moments in fp32 (reduction accumulates fp32)
+    s1 = jnp.mean(x.astype(jnp.float32), axis=(1, 2))            # (B, C)
+    s2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2))
+    gm = jnp.mean(s1.reshape(b, groups, cg), axis=-1)            # (B, G)
+    g2 = jnp.mean(s2.reshape(b, groups, cg), axis=-1)
+    var = g2 - jnp.square(gm)
+    inv = lax.rsqrt(var + eps)                                   # (B, G)
+    # fold mean/inv/scale/bias into per-channel a, b: y = x * a + b
+    inv_c = jnp.repeat(inv, cg, axis=-1)                         # (B, C)
+    mean_c = jnp.repeat(gm, cg, axis=-1)
+    scale = p["scale"].astype(jnp.float32)[None]
+    bias = p["bias"].astype(jnp.float32)[None]
+    a = inv_c * scale
+    d = bias - mean_c * a
+    y = x.astype(jnp.float32) * a[:, None, None, :] + d[:, None, None, :]
+    return y.astype(orig_dtype)
 
 
 def layer_norm(p, x, *, eps: float = 1e-5):
