@@ -56,6 +56,14 @@ def main(argv=None):
                     default=True)
     ap.add_argument("--tc", type=float, default=0.8, help="trimap constraint")
     ap.add_argument("--transparent", action="store_true")
+    ap.add_argument("--prompt-type", default="trimap",
+                    choices=["trimap", "mask", "bbox_mask", "point_mask",
+                             "auto_mask"],
+                    help="visual-prompt type; --trimap supplies the prompt "
+                         "mask for all types")
+    ap.add_argument("--coords", default=None,
+                    help="comma-separated prompt coords (bbox: x0,y0,x1,y1 "
+                         "normalized; points: x1,y1,x2,y2,...)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--random-weights", action="store_true",
@@ -92,9 +100,14 @@ def main(argv=None):
     opts = PipelineOptions(inference_size=args.size,
                            is_transparent=args.transparent,
                            output_mode=args.mode, mask_refine=args.refine,
-                           trimap_constraint=args.tc)
+                           trimap_constraint=args.tc,
+                           aux_input=args.prompt_type)
+    coords = None
+    if args.coords:
+        coords = np.asarray([[float(v) for v in args.coords.split(",")]],
+                            np.float32)
     t0 = time.time()
-    alpha, matted = pipe(image, trimap, options=opts)
+    alpha, matted = pipe(image, trimap, options=opts, coords=coords)
     import jax
     jax.block_until_ready((alpha, matted))
     print(f"[cli] matted in {time.time() - t0:.2f}s", file=sys.stderr)
