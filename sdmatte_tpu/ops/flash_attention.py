@@ -76,16 +76,15 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
 
 def _auto_blocks(lq: int, lk: int, d: int):
-    """Measured on v5e (benchmarks/flash_check.py sweep): throughput rises
-    with KV-tile size until VMEM pressure; bq=512 beats smaller q tiles.
-    bk=2048 only when it divides Lk (padding waste otherwise) and the head is
-    narrow enough to keep K/V tiles + fp32 scores inside VMEM."""
-    bq = 512
-    if lk % 2048 == 0 and d <= 128:
-        bk = 2048
-    else:
-        bk = 1024
-    return bq, bk
+    """Measured on v5e (benchmarks/flash_check.py sweeps): throughput rises
+    with KV-tile size until VMEM pressure.  Narrow heads (d<=128, the U-Net)
+    run best at bq=512; wide heads (d=512, the VAE mid-block) must shrink the
+    q tile to afford bk=2048 in VMEM (bq256/bk2048: 82 TF/s vs 43 at
+    bq512/bk1024).  bk=2048 only when it divides Lk (padding waste)."""
+    big_k = lk % 2048 == 0
+    if d > 128:
+        return 256, 2048 if big_k else 1024
+    return 512, 2048 if big_k else 1024
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",

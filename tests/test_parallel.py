@@ -78,6 +78,30 @@ def test_train_step_dp(tiny):
     assert np.abs(before - after).max() > 0.0
 
 
+def test_train_checkpoint_resume(tiny, tmp_path):
+    """Elastic-recovery round trip: save -> restore -> export reference fmt."""
+    from sdmatte_tpu.parallel import checkpointing as ckpt
+    cfg, params = tiny
+    tx, opt_state = ptrain.init_train_state(params, learning_rate=1e-3)
+    d = str(tmp_path / "ckpts")
+    ckpt.save_train_state(d, 3, params, opt_state)
+    ckpt.save_train_state(d, 7, params, opt_state)
+    assert ckpt.latest_step(d) == 7
+    step, p2, o2 = ckpt.restore_train_state(d)
+    assert step == 7
+    np.testing.assert_array_equal(
+        np.asarray(p2["unet"]["conv_in"]["kernel"]),
+        np.asarray(params["unet"]["conv_in"]["kernel"]))
+    # export to reference-consumable format and reload through the loader
+    from sdmatte_tpu.checkpoint import loader
+    from sdmatte_tpu.models import sdmatte as smod
+    out = str(tmp_path / "exported.safetensors")
+    ckpt.export_reference_checkpoint(p2, out)
+    fresh = smod.init(cfg, seed=11)
+    loaded, report = loader.load_sdmatte_checkpoint(fresh, out)
+    assert report.missing == [] and report.unexpected == []
+
+
 def test_uncertainty_weight_band():
     """In-graph analogue of the reference's dilated uncertainty band."""
     alpha = np.zeros((1, 32, 32, 1), np.float32)
