@@ -148,6 +148,8 @@ class MattingPipeline:
                             options.output_mode, options.mask_refine,
                             options.trimap_constraint, aux_type,
                             text_ids is not None)
+        # stays async (no sync barrier): callers pipeline batches; the
+        # serving layer records end-to-end latency (api/serve.py)
         if text_ids is None:
             return fn(self.params, image, prompt_mask, coords, is_trans)
         return fn(self.params, image, prompt_mask, coords, is_trans, text_ids)
