@@ -134,6 +134,7 @@ def apply(
     encoder_hidden_states_2=None,        # (B, 77, cross_dim) text tokens
     coords_embed: Optional[dict] = None, # {"bbox_mask_coords": (B,1280)} or {"point_coords": (B,1680)}
     attention_mask=None,                 # (B, L0) raw mask values in [0,1]
+    encoder_attention_mask=None,         # (B, L_ctx) raw mask over ctx tokens
     timestep=None,                       # optional (scalar/B,) — None in node path
     policy: Policy = FP32,
     attn_impl: str = "auto",
@@ -176,15 +177,26 @@ def apply(
     ctx_aux = _stage_pick(cfg.use_encoder_hidden_states_list,
                           encoder_hidden_states, encoder_hidden_states_2)
 
+    # optional mask over encoder (ctx) tokens — reference replace.py:405-407
+    enc_bias = None
+    if encoder_attention_mask is not None:
+        enc_bias = (1.0 - encoder_attention_mask.astype(jnp.float32)) * NEG_BIAS
+
     def stage_bias(stage_idx, hh, ww, ctx):
         """(bias_self, bias_cross) for a transformer at resolution (hh, ww)."""
         if not mask_on[stage_idx] or attention_mask is None:
-            return None, None
-        bias_self = biases.at(hh, ww)
-        # cross-attn keys are the ctx tokens; the mask only applies when ctx is
-        # the spatial aux tokens (length L0).  For text ctx the reference would
-        # have crashed (sqrt(77) assert) — we skip the bias instead.
-        bias_cross = biases.full if (ctx is not None and ctx.shape[1] == h0 * w0) else None
+            bias_self, bias_cross = None, None
+        else:
+            bias_self = biases.at(hh, ww)
+            # cross-attn keys are the ctx tokens; the spatial mask only
+            # applies when ctx is the spatial aux tokens (length L0).  For
+            # text ctx the reference would have crashed (sqrt(77) assert) —
+            # we skip the bias instead.
+            bias_cross = biases.full if (
+                ctx is not None and ctx.shape[1] == h0 * w0) else None
+        if enc_bias is not None and ctx is not None \
+                and enc_bias.shape[1] == ctx.shape[1]:
+            bias_cross = enc_bias if bias_cross is None else bias_cross + enc_bias
         return bias_self, bias_cross
 
     heads = list(cfg.attention_head_dim)

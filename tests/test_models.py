@@ -70,6 +70,30 @@ def test_unet_forward_and_mask_effect(tiny_cfg, tiny_params, unet_fn):
     assert float(jnp.abs(o_full - o_half).max()) > 1e-6
 
 
+def test_unet_encoder_attention_mask(tiny_cfg, tiny_params):
+    """Masking ctx tokens via encoder_attention_mask changes the output
+    (reference use_encoder_attention_mask path, replace.py:405-407)."""
+    cfg = tiny_cfg.unet
+    rng = np.random.default_rng(3)
+    b, h = 1, 8
+    sample = jnp.asarray(rng.standard_normal((b, h, h, 8)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, h * h, cfg.aux_token_dim)), jnp.float32)
+    coords = {"bbox_mask_coords": jnp.zeros((b, 1280), jnp.float32)}
+
+    @jax.jit
+    def fn(params, enc_mask):
+        return unet.apply(params, cfg, sample=sample, trans=jnp.ones((b,)),
+                          encoder_hidden_states=ctx, coords_embed=coords,
+                          attention_mask=None,
+                          encoder_attention_mask=enc_mask, attn_impl="xla")
+
+    full = fn(tiny_params["unet"], jnp.ones((b, h * h)))
+    m = np.ones((b, h * h), np.float32)
+    m[:, : h * h // 2] = 0.0
+    half = fn(tiny_params["unet"], jnp.asarray(m))
+    assert float(jnp.abs(full - half).max()) > 1e-6
+
+
 def test_unet_point_branch(tiny_cfg, tiny_params):
     cfg = tiny_cfg.unet
     b, h = 1, 8
