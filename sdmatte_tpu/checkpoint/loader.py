@@ -38,6 +38,11 @@ _VAE_ATTN_ALIASES = {
     "query": "to_q", "key": "to_k", "value": "to_v", "proj_attn": "to_out.0",
 }
 
+# parameterless torch buffers that appear in some exports' state_dicts
+# (older transformers registered position_ids as a persistent buffer); they
+# carry no weights and must not count as "unexpected"
+_IGNORED_BUFFER_SUFFIXES = ("position_ids", "num_batches_tracked")
+
 
 @dataclasses.dataclass
 class LoadReport:
@@ -45,6 +50,7 @@ class LoadReport:
     missing: List[str] = dataclasses.field(default_factory=list)      # in tree, not in ckpt
     unexpected: List[str] = dataclasses.field(default_factory=list)   # in ckpt, not in tree
     mismatched: List[Tuple[str, tuple, tuple]] = dataclasses.field(default_factory=list)
+    ignored: List[str] = dataclasses.field(default_factory=list)      # known buffers
 
     def summary(self) -> str:
         return (f"loaded={self.loaded} missing={len(self.missing)} "
@@ -116,6 +122,9 @@ def load_into_tree(
     seen = set()
     for key in keys:
         k = key[len(wrapper):]
+        if k.endswith(_IGNORED_BUFFER_SUFFIXES):
+            report.ignored.append(key)
+            continue
         if prefix_map:
             for old, new in prefix_map.items():
                 if k.startswith(old):

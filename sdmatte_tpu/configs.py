@@ -80,6 +80,11 @@ class UNetConfig:
     # per-stage gating [down, mid, up] (reference meta_arch.py:76-77)
     use_attention_mask_list: Sequence[bool] = (True, True, True)
     use_encoder_hidden_states_list: Sequence[bool] = (True, True, True)
+    # residual connection inside Attention modules whose cross_attention_dim
+    # is 320 — i.e. self-attention at the 320-channel stages (reference
+    # utils.py:49-50 toggles module.residual_connection there; the node path
+    # pins it False, meta_arch.py:46)
+    residual_connection: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -198,6 +203,16 @@ class SDMatteConfig:
     aux_input_list: Sequence[str] = ("point_mask", "bbox_mask", "mask", "trimap")
     use_encoder_hidden_states: bool = True
     add_noise: bool = False
+    # mask over the encoder (ctx) tokens, fed to the U-Net's
+    # encoder_attention_mask input (reference meta_arch.py:41,59 stores the
+    # flag; replace.py:405-407,482-527 consumes the mask; the reference's
+    # forward never constructs one — here True masks cross-attention keys
+    # with the latent-resolution prompt mask when ctx is the aux tokens)
+    use_encoder_attention_mask: bool = False
+    # capture per-stage U-Net feature maps (after down/mid/up) for the
+    # distillation loss (reference meta_arch.py:39 use_dis_loss,
+    # replace.py:465,490,506,538 feature_map hooks)
+    use_dis_loss: bool = False
 
     @classmethod
     def from_pretrained_dir(cls, base_dir: str, **overrides) -> "SDMatteConfig":

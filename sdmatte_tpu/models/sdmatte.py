@@ -108,12 +108,14 @@ def forward(
     coords_embed = _coords_embed(cfg, aux_type, coords, cfg.use_coor_input)
 
     # -- attention mask: latent-resolution prompt mask --------------------
-    attention_mask = None
-    if cfg.use_attention_mask and aux_type in cfg.attn_mask_aux_input:
+    latent_mask = None
+    if aux_type in cfg.attn_mask_aux_input and (
+            cfg.use_attention_mask or cfg.use_encoder_attention_mask):
         m = (data[aux_type] + 1.0) * 0.5
         s = rgb.shape[1]
         m = resize_nearest(m, s // 8, s // 8)
-        attention_mask = m.reshape(b, -1)
+        latent_mask = m.reshape(b, -1)
+    attention_mask = latent_mask if cfg.use_attention_mask else None
 
     # -- rgb latent (only when no aux input shared the batched encode) -----
     if aux_latent is None:
@@ -133,8 +135,16 @@ def forward(
     # -- opacity conditioning (timestep stays None: single-pass, no noise) --
     trans = 1.0 - jnp.asarray(data["is_trans"], jnp.float32).reshape(-1)
 
+    # optional ctx-token mask (reference meta_arch.py:41,59 stores the flag;
+    # the U-Net consumes it per replace.py:405-407) — masks cross-attention
+    # keys with the latent-resolution prompt mask over the aux tokens
+    enc_mask = latent_mask if (
+        cfg.use_encoder_attention_mask and latent_mask is not None
+        and aux_tokens is not None) else None
+
+    want_features = cfg.use_dis_loss or return_intermediates
     sample = jnp.concatenate([rgb_latent, aux_latent], axis=-1)
-    label_latent = unet.apply(
+    unet_out = unet.apply(
         params["unet"], cfg.unet,
         sample=sample.astype(policy.compute_dtype),
         trans=trans,
@@ -142,10 +152,13 @@ def forward(
         encoder_hidden_states_2=text_tokens,
         coords_embed=coords_embed,
         attention_mask=attention_mask,
+        encoder_attention_mask=enc_mask,
         timestep=None,
         policy=policy,
         attn_impl=attn_impl,
+        return_features=want_features,
     )
+    label_latent, feature_maps = unet_out if want_features else (unet_out, None)
 
     # -- decode + alpha head ----------------------------------------------
     z = label_latent.astype(policy.compute_dtype) / jnp.asarray(
@@ -165,7 +178,12 @@ def forward(
             "aux_tokens": aux_tokens,
             "unet_out": label_latent,
             "decoded": decoded,
+            # per-stage distillation features (reference use_dis_loss path,
+            # meta_arch.py:39 + replace.py:465,490,506,538)
+            "feature_maps": feature_maps,
         }
+    if cfg.use_dis_loss:
+        return alpha, feature_maps
     return alpha
 
 

@@ -42,8 +42,14 @@ def _time_mlp(p, x, policy: Policy):
     return F.linear(p["linear_2"], h, policy)
 
 
-def _mha(p, x, ctx, *, heads: int, bias, policy: Policy, attn_impl: str):
-    """Multi-head attention, q from x, k/v from ctx; per-key bias (B, Lk)."""
+def _mha(p, x, ctx, *, heads: int, bias, policy: Policy, attn_impl: str,
+         residual: bool = False):
+    """Multi-head attention, q from x, k/v from ctx; per-key bias (B, Lk).
+
+    ``residual`` mirrors diffusers ``Attention.residual_connection`` (the
+    reference toggles it on cross_attention_dim==320 modules, utils.py:49-50):
+    the module's own input is added back *inside* the attention module, on
+    top of the transformer block's outer residual."""
     b, lq, c = x.shape
     d = c // heads
     q = F.linear(p["to_q"], x, policy).reshape(b, lq, heads, d).transpose(0, 2, 1, 3)
@@ -53,7 +59,8 @@ def _mha(p, x, ctx, *, heads: int, bias, policy: Policy, attn_impl: str):
                   v.astype(policy.compute_dtype), scale=1.0 / np.sqrt(d),
                   bias=bias, policy=policy, impl=attn_impl)
     o = o.transpose(0, 2, 1, 3).reshape(b, lq, c)
-    return F.linear(p["to_out"]["0"], o, policy)
+    out = F.linear(p["to_out"]["0"], o, policy)
+    return out + x.astype(out.dtype) if residual else out
 
 
 def _transformer(p, x, ctx, *, heads: int, bias_self, bias_cross,
@@ -66,9 +73,15 @@ def _transformer(p, x, ctx, *, heads: int, bias_self, bias_cross,
     y = y.reshape(b, h * w, c)
     y = F.linear(p["proj_in"], y, policy).astype(x.dtype)
     tb = p["transformer_blocks"]["0"]
+    # reference utils.py:49-50: residual_connection applies to Attention
+    # modules with cross_attention_dim == 320 — the self-attention (attn1)
+    # sites at the 320-channel stages (attn1's cross_attention_dim defaults
+    # to its query dim; attn2's is the 1024 text/aux dim)
+    res_attn1 = cfg.residual_connection and c == 320
     n1 = F.layer_norm(tb["norm1"], y)
-    y = y + _mha(tb["attn1"], n1, n1,
-                 heads=heads, bias=bias_self, policy=policy, attn_impl=attn_impl).astype(y.dtype)
+    y = y + _mha(tb["attn1"], n1, n1, heads=heads, bias=bias_self,
+                 policy=policy, attn_impl=attn_impl,
+                 residual=res_attn1).astype(y.dtype)
     y = y + _mha(tb["attn2"], F.layer_norm(tb["norm2"], y), ctx,
                  heads=heads, bias=bias_cross, policy=policy, attn_impl=attn_impl).astype(y.dtype)
     z = F.layer_norm(tb["norm3"], y)
@@ -109,7 +122,6 @@ class _BiasPyramid:
         # mask: (B, L0) in [0,1] at latent resolution (h0, w0), or None
         self._grid = None if mask is None else mask.reshape(mask.shape[0], h0, w0, 1)
         self._cache = {}
-        self.full = None if mask is None else self._bias_of(mask)
 
     @staticmethod
     def _bias_of(m):
@@ -138,8 +150,14 @@ def apply(
     timestep=None,                       # optional (scalar/B,) — None in node path
     policy: Policy = FP32,
     attn_impl: str = "auto",
+    return_features: bool = False,       # distillation hooks (replace.py:465,490,506,538)
 ):
-    """Single U-Net pass (reference replace.py:379-549 semantics)."""
+    """Single U-Net pass (reference replace.py:379-549 semantics).
+
+    With ``return_features`` (the reference's ``use_dis_loss`` path) returns
+    ``(out, features)`` where features are the NHWC activations captured
+    after the down path, after the mid block, and after the up path —
+    mirroring the reference's ``self.feature_map`` side list."""
     b, h0, w0, _ = sample.shape
     ch = list(cfg.block_out_channels)
 
@@ -183,20 +201,23 @@ def apply(
         enc_bias = (1.0 - encoder_attention_mask.astype(jnp.float32)) * NEG_BIAS
 
     def stage_bias(stage_idx, hh, ww, ctx):
-        """(bias_self, bias_cross) for a transformer at resolution (hh, ww)."""
+        """(bias_self, bias_cross) for a transformer at resolution (hh, ww).
+
+        diffusers semantics (BasicTransformerBlock, diffusers>=0.25 per the
+        reference's pin): ``attention_mask`` biases ONLY self-attention
+        (attn1) — nearest-resized to each resolution by the reference's
+        custom_prepare_attention_mask (replace.py:56-63); cross-attention
+        (attn2) is biased ONLY by ``encoder_attention_mask`` (None in the
+        reference node path).  Round 1 also applied the spatial mask to
+        cross-attention keys — that was a parity bug, fixed here."""
         if not mask_on[stage_idx] or attention_mask is None:
-            bias_self, bias_cross = None, None
+            bias_self = None
         else:
             bias_self = biases.at(hh, ww)
-            # cross-attn keys are the ctx tokens; the spatial mask only
-            # applies when ctx is the spatial aux tokens (length L0).  For
-            # text ctx the reference would have crashed (sqrt(77) assert) —
-            # we skip the bias instead.
-            bias_cross = biases.full if (
-                ctx is not None and ctx.shape[1] == h0 * w0) else None
+        bias_cross = None
         if enc_bias is not None and ctx is not None \
                 and enc_bias.shape[1] == ctx.shape[1]:
-            bias_cross = enc_bias if bias_cross is None else bias_cross + enc_bias
+            bias_cross = enc_bias
         return bias_self, bias_cross
 
     heads = list(cfg.attention_head_dim)
@@ -219,6 +240,8 @@ def apply(
             x = F.conv2d(blk["downsamplers"]["0"]["conv"], x, stride=2, policy=policy)
             skips.append(x)
 
+    features = [x] if return_features else None   # after down (replace.py:490)
+
     # -- mid ---------------------------------------------------------------
     mid = params["mid_block"]
     x = _resnet(mid["resnets"]["0"], x, emb, cfg, policy)
@@ -227,6 +250,8 @@ def apply(
                      bias_self=bs, bias_cross=bc, cfg=cfg, policy=policy,
                      attn_impl=attn_impl)
     x = _resnet(mid["resnets"]["1"], x, emb, cfg, policy)
+    if return_features:
+        features.append(x)                        # after mid (replace.py:506)
 
     # -- up path -----------------------------------------------------------
     for i in range(n_blocks):
@@ -248,11 +273,15 @@ def apply(
             x = resize_nearest(x, th, tw)
             x = F.conv2d(blk["upsamplers"]["0"]["conv"], x, policy=policy)
 
+    if return_features:
+        features.append(x)                        # after up (replace.py:538)
+
     # -- head --------------------------------------------------------------
     x = F.group_norm(params["conv_norm_out"], x, groups=cfg.norm_num_groups,
                      eps=cfg.norm_eps)
     x = F.silu(x)
-    return F.conv2d(params["conv_out"], x, policy=policy)
+    out = F.conv2d(params["conv_out"], x, policy=policy)
+    return (out, features) if return_features else out
 
 
 def aux_tokens(params, aux_latent, cfg: UNetConfig, *, policy: Policy = FP32):

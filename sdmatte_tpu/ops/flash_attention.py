@@ -75,6 +75,47 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *,
         o_ref[0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
 
 
+def _kernel_fused_l(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, acc_ref, *,
+                    nk: int, d: int):
+    """Narrow-head (d < 128) variant — the U-Net's d=64 hot path.
+
+    The softmax denominator rides the PV matmul instead of a VPU reduction:
+    V is padded to the 128-lane tile the MXU pays for anyway, with a ones
+    column at index ``d``, so column ``d`` of the accumulator IS the running
+    sum of exp (identical alpha-rescale recurrence).  Combined with folding
+    ``scale`` into q on the host, this removes two full (bq, bk) VPU passes
+    per step from a VPU-bound kernel (docs/ARCHITECTURE.md accounting)."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                                   # (bq, d), pre-scaled
+    k = k_ref[0]                                   # (bk, d)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if bias_ref is not None:
+        s = s + bias_ref[0]                        # (1, bk) broadcast over rows
+
+    m_prev = m_ref[:, :1]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next).astype(v_ref.dtype)
+    m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+    # v_ref[0] is (bk, 128): [V | ones | 0...]; col d of the dot = sum(p)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot(
+        p, v_ref[0], preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = acc_ref[:, d:d + 1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_ref[:, :d] * l_inv).astype(o_ref.dtype)
+
+
 def _auto_blocks(lq: int, lk: int, d: int):
     """Measured on v5e (benchmarks/flash_check.py sweeps): throughput rises
     with KV-tile size until VMEM pressure.  Narrow heads (d<=128, the U-Net)
@@ -115,9 +156,22 @@ def flash_attention(q, k, v, *, scale: float, bias=None, block_q: int = 0,
             bias = jnp.pad(bias, ((0, 0), (0, lk_p - lk)),
                            constant_values=MASK_VALUE)
 
+    # narrow heads (the U-Net's d=64): fused-denominator variant — V padded
+    # to the 128-lane tile with a ones column at index d (free MXU width)
+    fused_l = d < _LANES
+
     qf = q.reshape(b * h, lq_p, d)
     kf = k.reshape(b * h, lk_p, d)
-    vf = v.reshape(b * h, lk_p, d)
+    if fused_l:
+        qf = (qf.astype(jnp.float32) * scale).astype(q.dtype)
+        ones = jnp.ones((b, h, lk_p, 1), v.dtype)
+        v = jnp.concatenate(
+            [v, ones, jnp.zeros((b, h, lk_p, _LANES - d - 1), v.dtype)], axis=-1)
+        vf = v.reshape(b * h, lk_p, _LANES)
+        dv = _LANES
+    else:
+        vf = v.reshape(b * h, lk_p, d)
+        dv = d
     nq = lq_p // bq
     nk = lk_p // bk
     grid = (b * h, nq, nk)
@@ -125,7 +179,7 @@ def flash_attention(q, k, v, *, scale: float, bias=None, block_q: int = 0,
     in_specs = [
         pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
         pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),
-        pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),
+        pl.BlockSpec((1, bk, dv), lambda bh, qi, ki: (bh, ki, 0)),
     ]
     operands = [qf, kf, vf]
     if bias is not None:
@@ -133,11 +187,31 @@ def flash_attention(q, k, v, *, scale: float, bias=None, block_q: int = 0,
         in_specs.append(
             pl.BlockSpec((1, 1, bk), lambda bh, qi, ki: (bh // h, 0, ki)))
         operands.append(bias.reshape(b, 1, lk_p))
-        kern = functools.partial(_kernel, scale=scale, nk=nk)
+        if fused_l:
+            kern = functools.partial(_kernel_fused_l, nk=nk, d=d)
+        else:
+            kern = functools.partial(_kernel, scale=scale, nk=nk)
     else:
-        kern = functools.partial(
-            lambda qr, kr, vr, o, m, l, a, **kw: _kernel(qr, kr, vr, None, o, m, l, a, **kw),
-            scale=scale, nk=nk)
+        if fused_l:
+            kern = functools.partial(
+                lambda qr, kr, vr, o, m, a, **kw: _kernel_fused_l(
+                    qr, kr, vr, None, o, m, a, **kw), nk=nk, d=d)
+        else:
+            kern = functools.partial(
+                lambda qr, kr, vr, o, m, l, a, **kw: _kernel(qr, kr, vr, None, o, m, l, a, **kw),
+                scale=scale, nk=nk)
+
+    if fused_l:
+        scratch = [
+            pltpu.VMEM((bq, _LANES), jnp.float32),   # running max
+            pltpu.VMEM((bq, _LANES), jnp.float32),   # acc (l rides col d)
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((bq, _LANES), jnp.float32),   # running max
+            pltpu.VMEM((bq, _LANES), jnp.float32),   # running sum
+            pltpu.VMEM((bq, d), jnp.float32),        # output accumulator
+        ]
 
     out = pl.pallas_call(
         kern,
@@ -145,11 +219,7 @@ def flash_attention(q, k, v, *, scale: float, bias=None, block_q: int = 0,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bq, _LANES), jnp.float32),   # running max
-            pltpu.VMEM((bq, _LANES), jnp.float32),   # running sum
-            pltpu.VMEM((bq, d), jnp.float32),        # output accumulator
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

@@ -7,12 +7,13 @@ of weights on EVERY node call (sdmatte_nodes.py:286-323 — SURVEY.md §3.2
 flags this as the design flaw to fix).
 
 Here:
-  * preprocess -> VAE encodes -> U-Net -> decode -> resize-back -> refine ->
-    composite is a single traced function; host work is only array handoff.
-  * compiled executables are cached per (batch, in-size, inference-size,
-    output-mode, refine, prompt-type) bucket; the 5 supported inference sizes
-    (512/640/768/896/1024 — reference sdmatte_nodes.py:226-229) bound the
-    bucket count.
+  * the flow runs as three chained on-device jit graphs — pre (resize+
+    normalize), heavy (VAE encodes -> U-Net -> decode), post (resize-back ->
+    refine -> composite) — so the model graph is keyed ONLY on
+    (batch, inference-size, prompt-type, text?) and arbitrary input sizes
+    never recompile it; the 5 supported inference sizes
+    (512/640/768/896/1024 — reference sdmatte_nodes.py:226-229) bound its
+    bucket count.  Host work is array handoff only.
   * params live on device once, shared across calls.
 """
 
@@ -64,22 +65,37 @@ class MattingPipeline:
         # move params to device once, in compute dtype for the big tensors
         self.params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, policy.param_dtype), params)
+        # traces per graph kind (observability + the recompile-bound tests)
+        self._trace_counts = {"pre": 0, "heavy": 0, "post": 0}
 
-    # -- traced body ------------------------------------------------------
+    # -- traced bodies ------------------------------------------------------
+    #
+    # The flow is split into three graphs so arbitrary input sizes never
+    # recompile the expensive one (VERDICT round 1, item 5 — the reference
+    # handles any input size recompile-free because its resize-back is
+    # host-side, sdmatte_nodes.py:362):
+    #   pre   (tiny,  keyed on orig_hw+size): resize+normalize to (S, S)
+    #   heavy (model, keyed on batch/size/aux/text ONLY): VAE+U-Net+decode
+    #   post  (tiny,  keyed on orig_hw+size+mode): resize-back, refine,
+    #          composite at the original resolution
+    # Op order and numerics are identical to the former fused graph; XLA
+    # pipelines the three dispatches back-to-back (all stay on device).
 
-    def _run(self, params, image, prompt_mask, coords, is_trans, text_ids, *,
-             size: int, orig_hw, output_mode: str, refine: bool,
-             trimap_constraint: float, aux_type: str):
-        """image (B,H,W,3) [0,1]; prompt_mask (B,H,W) [0,1]; coords (B,K)."""
-        oh, ow = orig_hw
+    def _pre(self, image, prompt_mask, *, size: int):
+        """image (B,H,W,3) [0,1]; prompt_mask (B,H,W) [0,1] -> (S,S) pair."""
+        self._trace_counts["pre"] += 1
         pol = self.policy
-
         img = imaging.resize_bilinear(image, size, size, antialias=True)
         img = imaging.normalize_pm1(img).astype(pol.compute_dtype)
         pm = imaging.resize_bilinear(prompt_mask[..., None], size, size,
                                      antialias=True)
         pm = imaging.normalize_pm1(pm).astype(pol.compute_dtype)
+        return img, pm
 
+    def _heavy(self, params, img, pm, coords, is_trans, text_ids, *,
+               aux_type: str):
+        """Preprocessed (B,S,S) inputs -> model alpha (B,S,S) fp32 [0,1]."""
+        self._trace_counts["heavy"] += 1
         data = {
             "image": img,
             aux_type: pm,
@@ -88,13 +104,22 @@ class MattingPipeline:
         }
         if text_ids is not None:
             data["text_ids"] = text_ids
-
         alpha = sdmatte.forward(params, self.cfg, data,
-                                aux_input_type=aux_type, policy=pol,
+                                aux_input_type=aux_type, policy=self.policy,
                                 attn_impl=self.attn_impl,
                                 vae_chunk=self.vae_chunk)
-        # resize back to original resolution (reference sdmatte_nodes.py:362)
-        alpha = imaging.resize_bilinear(alpha.astype(jnp.float32), oh, ow,
+        return alpha.astype(jnp.float32)[..., 0]
+
+    def _post(self, alpha_s, image, prompt_mask, *, orig_hw, output_mode: str,
+              refine: bool, trimap_constraint: float):
+        """Model alpha (B,S,S) + ORIGINAL-res image/mask -> (alpha, matted).
+
+        Mirrors the reference's host postprocess (sdmatte_nodes.py:362-397):
+        resize back, clamp, trimap-constrained refine against the
+        original-resolution trimap, composite."""
+        self._trace_counts["post"] += 1
+        oh, ow = orig_hw
+        alpha = imaging.resize_bilinear(alpha_s[..., None], oh, ow,
                                         antialias=True)
         alpha = jnp.clip(alpha[..., 0], 0.0, 1.0)
         if refine:
@@ -102,17 +127,23 @@ class MattingPipeline:
         matted = postprocess.composite(image, alpha, prompt_mask, output_mode)
         return alpha, matted
 
-    @functools.lru_cache(maxsize=32)
-    def _compiled(self, size: int, orig_hw, output_mode: str, refine: bool,
-                  trimap_constraint: float, aux_type: str, has_text: bool):
-        fn = functools.partial(
-            self._run, size=size, orig_hw=orig_hw, output_mode=output_mode,
-            refine=refine, trimap_constraint=trimap_constraint,
-            aux_type=aux_type)
+    @functools.lru_cache(maxsize=16)
+    def _compiled_pre(self, size: int):
+        return jax.jit(functools.partial(self._pre, size=size))
+
+    @functools.lru_cache(maxsize=16)
+    def _compiled_heavy(self, aux_type: str, has_text: bool):
+        fn = functools.partial(self._heavy, aux_type=aux_type)
         if not has_text:
-            fn2 = lambda p, i, m, c, t: fn(p, i, m, c, t, None)  # noqa: E731
-            return jax.jit(fn2)
+            return jax.jit(lambda p, i, m, c, t: fn(p, i, m, c, t, None))
         return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=64)
+    def _compiled_post(self, orig_hw, output_mode: str, refine: bool,
+                       trimap_constraint: float):
+        return jax.jit(functools.partial(
+            self._post, orig_hw=orig_hw, output_mode=output_mode,
+            refine=refine, trimap_constraint=trimap_constraint))
 
     # -- public entry -----------------------------------------------------
 
@@ -144,12 +175,16 @@ class MattingPipeline:
                 raise ValueError("text-conditioned gating requires a tokenizer")
             text_ids = jnp.asarray(self.tokenizer(prompts), jnp.int32)
 
-        fn = self._compiled(options.inference_size, (h, w),
-                            options.output_mode, options.mask_refine,
-                            options.trimap_constraint, aux_type,
-                            text_ids is not None)
+        img_s, pm_s = self._compiled_pre(options.inference_size)(
+            image, prompt_mask)
+        heavy = self._compiled_heavy(aux_type, text_ids is not None)
+        if text_ids is None:
+            alpha_s = heavy(self.params, img_s, pm_s, coords, is_trans)
+        else:
+            alpha_s = heavy(self.params, img_s, pm_s, coords, is_trans, text_ids)
+        post = self._compiled_post((h, w), options.output_mode,
+                                   options.mask_refine,
+                                   options.trimap_constraint)
         # stays async (no sync barrier): callers pipeline batches; the
         # serving layer records end-to-end latency (api/serve.py)
-        if text_ids is None:
-            return fn(self.params, image, prompt_mask, coords, is_trans)
-        return fn(self.params, image, prompt_mask, coords, is_trans, text_ids)
+        return post(alpha_s, image, prompt_mask)

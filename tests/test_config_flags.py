@@ -1,0 +1,103 @@
+"""Effect tests for the round-2 config-surface flags (VERDICT item 8):
+residual_connection, use_dis_loss (per-stage feature maps), and the
+meta-arch use_encoder_attention_mask."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sdmatte_tpu.configs import SDMatteConfig, UNetConfig
+from sdmatte_tpu.core.dtypes import FP32
+from sdmatte_tpu.models import sdmatte, unet
+
+
+def _unet_320():
+    """Small U-Net whose first stage really has 320 channels, so the
+    reference's literal cross_attention_dim==320 residual sites exist."""
+    return UNetConfig(
+        block_out_channels=(320, 16, 16, 16),
+        layers_per_block=1,
+        cross_attention_dim=32,
+        attention_head_dim=(5, 2, 2, 2),
+        norm_num_groups=8,
+        aux_token_dim=32,
+    )
+
+
+def _run_unet(cfg, rng, **over):
+    params = unet.init(cfg, seed=0)
+    b, s = 1, 16
+    sample = jnp.asarray(rng.standard_normal((b, s, s, cfg.in_channels)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, s * s, cfg.aux_token_dim)), jnp.float32)
+    ce = {"bbox_mask_coords": jnp.asarray(
+        rng.standard_normal((b, cfg.bbox_embeddings_input_dim)), jnp.float32)}
+    kw = dict(sample=sample, trans=jnp.ones((b,), jnp.float32),
+              encoder_hidden_states=ctx, coords_embed=ce,
+              attention_mask=None, timestep=None, policy=FP32,
+              attn_impl="xla")
+    kw.update(over)
+    return unet.apply(params, cfg, **kw)
+
+
+def test_residual_connection_changes_320ch_stages(rng):
+    base = _run_unet(_unet_320(), np.random.default_rng(0))
+    flag = _run_unet(dataclasses.replace(_unet_320(), residual_connection=True),
+                     np.random.default_rng(0))
+    assert not np.allclose(np.asarray(base), np.asarray(flag))
+
+
+def test_residual_connection_noop_without_320ch_sites(rng):
+    """Tiny config has no 320-channel Attention — the flag must not act."""
+    cfg = UNetConfig.tiny()
+    base = _run_unet(cfg, np.random.default_rng(0))
+    flag = _run_unet(dataclasses.replace(cfg, residual_connection=True),
+                     np.random.default_rng(0))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(flag))
+
+
+def _tiny_data(rng, s=64):
+    return {
+        "image": jnp.asarray(rng.uniform(-1, 1, (1, s, s, 3)), jnp.float32),
+        "trimap": jnp.asarray(rng.uniform(-1, 1, (1, s, s, 1)), jnp.float32),
+        "trimap_coords": jnp.asarray([[0.0, 0.0, 1.0, 1.0]], jnp.float32),
+        "is_trans": jnp.zeros((1,), jnp.float32),
+    }
+
+
+def test_use_dis_loss_returns_three_stage_features(rng):
+    cfg = dataclasses.replace(SDMatteConfig.tiny(), use_dis_loss=True)
+    params = sdmatte.init(cfg, seed=0)
+    alpha, features = sdmatte.forward(params, cfg, _tiny_data(rng))
+    assert alpha.shape == (1, 64, 64, 1)
+    assert len(features) == 3                      # after down / mid / up
+    ch = cfg.unet.block_out_channels
+    assert features[0].shape[-1] == ch[-1]         # bottom of the U
+    assert features[1].shape[-1] == ch[-1]
+    assert features[2].shape[-1] == ch[0]          # back at full latent res
+    assert features[2].shape[1] == 64 // 8
+
+
+def test_use_dis_loss_off_returns_alpha_only(rng):
+    cfg = SDMatteConfig.tiny()
+    params = sdmatte.init(cfg, seed=0)
+    out = sdmatte.forward(params, cfg, _tiny_data(rng))
+    assert out.shape == (1, 64, 64, 1)
+
+
+def test_use_encoder_attention_mask_effect(rng):
+    """A non-uniform trimap -> the ctx-token mask changes the alpha."""
+    data = _tiny_data(rng)
+    # half-opaque / half-unknown trimap so the mask is non-trivial
+    tri = np.zeros((1, 64, 64, 1), np.float32)
+    tri[:, :, 32:] = 1.0
+    data["trimap"] = jnp.asarray(tri * 2.0 - 1.0)
+    base_cfg = SDMatteConfig.tiny()
+    flag_cfg = dataclasses.replace(base_cfg, use_encoder_attention_mask=True)
+    params = sdmatte.init(base_cfg, seed=0)
+    a0 = sdmatte.forward(params, base_cfg, data)
+    a1 = sdmatte.forward(params, flag_cfg, data)
+    # tiny-init attention outputs are minuscule, so the effect is small in
+    # absolute terms — assert strict non-equality, not allclose
+    assert float(jnp.abs(a0 - a1).max()) > 0.0
