@@ -37,12 +37,28 @@ def linear(p, x, policy: Policy = FP32):
 def conv2d(p, x, *, stride: int = 1, padding=1, policy: Policy = FP32):
     """3x3/1x1 conv, NHWC x HWIO.  ``padding`` is an int (symmetric) or an
     explicit ((top,bottom),(left,right)) pair — the VAE encoder's downsample
-    uses asymmetric (0,1),(0,1) padding."""
+    uses asymmetric (0,1),(0,1) padding.
+
+    3x3/stride-1/SAME shapes route to the Pallas implicit-GEMM kernel when
+    the measured dispatch table (ops/dispatch.py) says it beats XLA on this
+    exact shape; everything else takes XLA's native conv."""
     k = p["kernel"].astype(policy.compute_dtype)
     if isinstance(padding, int):
         pad = [(padding, padding), (padding, padding)]
     else:
         pad = [tuple(padding[0]), tuple(padding[1])]
+
+    if (k.shape[0] == 3 and k.shape[1] == 3 and stride == 1
+            and pad == [(1, 1), (1, 1)] and x.ndim == 4):
+        from ..ops.dispatch import use_pallas_conv3x3
+        b, h, w, _ = x.shape
+        if use_pallas_conv3x3(b, h, w, k.shape[2], k.shape[3],
+                              dtype_ok=policy.compute_dtype == jnp.bfloat16):
+            from ..ops.conv3x3 import conv3x3_same
+            xb = policy.cast_compute(x)
+            bias = p["bias"] if "bias" in p else None
+            return conv3x3_same(xb, k, bias)
+
     y = lax.conv_general_dilated(
         policy.cast_compute(x), k,
         window_strides=(stride, stride),

@@ -80,3 +80,93 @@ def test_matte_missing_field(server):
 def test_unknown_route(server):
     code, _ = _post(server + "/v1/nope", {})
     assert code == 404
+
+
+# ---------------------------------------------------------------- batching --
+
+class _StubPipeline:
+    """Counts calls; sleeps a fixed 'device time' per CALL (not per image) —
+    models the chip's economics where batch-8 costs ~ the same dispatch."""
+
+    def __init__(self, per_call_s=0.05):
+        self.calls = 0
+        self.batch_sizes = []
+        self.per_call_s = per_call_s
+
+    def __call__(self, imgs, tris, *, options):
+        self.calls += 1
+        b = imgs.shape[0]
+        self.batch_sizes.append(b)
+        import time
+        time.sleep(self.per_call_s)
+        h, w = imgs.shape[1], imgs.shape[2]
+        return np.zeros((b, h, w), np.float32), np.zeros((b, h, w, 3), np.float32)
+
+
+def test_microbatch_coalesces_concurrent_requests():
+    """4 concurrent same-key requests run as ~1 batched pipeline call and
+    finish in well under 4x (target: <2x) the single-request latency."""
+    import time as _t
+    from sdmatte_tpu.api.serve import MicroBatcher
+    from sdmatte_tpu.pipeline import PipelineOptions
+
+    stub = _StubPipeline(per_call_s=0.08)
+    mb = MicroBatcher(stub, window_ms=30.0, max_batch=8)
+    opts = PipelineOptions(inference_size=64)
+    img = np.zeros((32, 48, 3), np.float32)
+    tri = np.zeros((32, 48), np.float32)
+
+    # single-request latency (includes the coalescing window)
+    t0 = _t.perf_counter()
+    mb.submit(img, tri, opts)
+    t_single = _t.perf_counter() - t0
+
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = mb.submit(img, tri, opts)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    t0 = _t.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    t_four = _t.perf_counter() - t0
+    mb.shutdown()
+
+    assert all(r is not None and r[0].shape == (32, 48) for r in results)
+    # batched: the 4 concurrent requests used at most 2 pipeline calls
+    assert stub.calls <= 3  # 1 single + <=2 for the burst
+    assert max(stub.batch_sizes) >= 2
+    assert t_four < 2 * t_single + 0.2
+
+
+def test_microbatch_mixed_keys_fifo():
+    """Different shapes/options never stack together but all complete."""
+    from sdmatte_tpu.api.serve import MicroBatcher
+    from sdmatte_tpu.pipeline import PipelineOptions
+
+    stub = _StubPipeline(per_call_s=0.005)
+    mb = MicroBatcher(stub, window_ms=5.0, max_batch=8)
+    o1 = PipelineOptions(inference_size=64)
+    o2 = PipelineOptions(inference_size=64, output_mode="matted_rgba")
+
+    outs = []
+
+    def worker(h, opts):
+        img = np.zeros((h, 40, 3), np.float32)
+        tri = np.zeros((h, 40), np.float32)
+        outs.append(mb.submit(img, tri, opts))
+
+    threads = [threading.Thread(target=worker, args=(h, o))
+               for h, o in [(32, o1), (48, o1), (32, o2), (32, o1)]]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.shutdown()
+
+    assert len(outs) == 4
+    # 3 distinct keys -> at least 3 pipeline calls; the two (32, o1) may stack
+    assert 3 <= stub.calls <= 4
