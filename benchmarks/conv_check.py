@@ -96,13 +96,15 @@ def main():
             speedup = results["xla"] / results["pallas"]
             winner = "pallas" if speedup > 1.0 else "xla"
             wins[(b, s, ci, co)] = (winner, round(speedup, 3))
-            # parity check
-            got = conv3x3_same(x, w)
-            ref = xla_conv(x, w)
-            err = float(jnp.abs(got.astype(jnp.float32)
-                                - ref.astype(jnp.float32)).max())
-            print(f"  -> {winner} (pallas speedup {speedup:.2f}x), "
-                  f"parity maxerr {err:.5f}", flush=True)
+            try:  # parity check (never abort the sweep)
+                got = conv3x3_same(x, w)
+                ref = xla_conv(x, w)
+                err = float(jnp.abs(got.astype(jnp.float32)
+                                    - ref.astype(jnp.float32)).max())
+                print(f"  -> {winner} (pallas speedup {speedup:.2f}x), "
+                      f"parity maxerr {err:.5f}", flush=True)
+            except Exception as e:
+                print(f"  -> parity check failed: {str(e)[:100]}", flush=True)
 
     print("\nwinner table (for ops/dispatch.py):")
     for k, v in wins.items():

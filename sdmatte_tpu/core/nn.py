@@ -41,7 +41,14 @@ def conv2d(p, x, *, stride: int = 1, padding=1, policy: Policy = FP32):
 
     3x3/stride-1/SAME shapes route to the Pallas implicit-GEMM kernel when
     the measured dispatch table (ops/dispatch.py) says it beats XLA on this
-    exact shape; everything else takes XLA's native conv."""
+    exact shape; everything else takes XLA's native conv.  Param dicts that
+    carry int8 fields (ops/quant.py:quantize_vae_tree) take the int8 MXU
+    path instead (2x MAC rate on v5e)."""
+    if "kernel_q" in p:
+        from ..ops.quant import conv2d_int8
+        return conv2d_int8(x, p["kernel_q"], p["kernel_scale"],
+                           p.get("bias"), stride=stride, padding=padding,
+                           out_dtype=policy.compute_dtype)
     k = p["kernel"].astype(policy.compute_dtype)
     if isinstance(padding, int):
         pad = [(padding, padding), (padding, padding)]

@@ -1,23 +1,29 @@
 """Pallas 3x3 stride-1 conv (implicit GEMM, double-buffered halo DMA).
 
 The VAE's large-spatial convs are the single largest time sink at 1024px
-(benchmarks/stage_profile.py: XLA sustains only 33-42 TF/s on the
-1024^2 x 128ch shapes that dominate encoder stage-0 / decoder stage-3).
-This kernel streams row-block windows (with a +2-row halo) HBM->VMEM and
-computes the conv as 9 accumulated (bh*W, C) @ (C, Cout) matmuls — full
-128-lane MXU contraction/output widths, fp32 accumulation.
+(benchmarks/stage_profile.py: XLA sustains only 25-55 TF/s on the shapes
+that dominate — replaces the torch/cuDNN convs inside the reference's
+diffusers blocks, reference meta_arch.py:142-145,254-257).
 
-v2 (round 2) over the round-1 prototype:
-  * cross-grid-iteration DOUBLE-BUFFERED input DMA: while block i computes,
-    block i+1's window is already in flight (the round-1 kernel start()ed
-    and wait()ed back-to-back, serializing DMA behind compute);
-  * bias folded into the kernel (saves a full read-modify-write pass over
-    the 256 MB output tensor per conv at 1024^2);
-  * adaptive row-block size by VMEM budget.
+v3 (round 2) — what the measurements taught:
+  * v2 ran 9 accumulated (bh*W, C) @ (C, Cout) dots; profiling showed the
+    fp32 accumulator's VMEM read-modify-write traffic (9 round trips of
+    M x Cout x 4B) capped the kernel at ~35-45% MFU.  v3 concatenates the
+    three dx-shifts along the contraction axis instead: per dy one
+    (bh*W, 3C) @ (3C, coN) dot — 3 accumulator round trips instead of 9
+    and a 3x-deeper MXU contraction.  The weight is reshaped (3, 3C, Cout)
+    on the host (w[dy].reshape: K index = dx*C + c, matching the lane
+    concat order).
+  * Cout is tiled by a third grid dimension (innermost, so the input
+    window in VMEM is fetched ONCE per row-block and reused across weight
+    column blocks) — this is what let the 512-channel shapes compile at
+    all (v2 OOM'd scoped VMEM at 18.5 MB).
+  * cross-row-block double-buffered window DMA (kept from v2): while
+    block t computes, block t+1's window is in flight.
 
 Used where measured faster than XLA's native conv (benchmarks/conv_check.py
-drives the measurement; core/nn.conv2d consults ops.dispatch for the
-per-shape winner).  Constraints: NHWC, kernel 3x3, stride 1, SAME padding.
+drives the measurement; ops/dispatch.py holds the winner table consulted by
+core/nn.conv2d).  Constraints: NHWC, kernel 3x3, stride 1, SAME padding.
 """
 
 from __future__ import annotations
@@ -31,11 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_hbm, w_ref, b_ref, o_ref, xwin, sem, *, bh: int, nI: int,
-            nB: int, W: int, C: int, Cout: int):
-    """xwin scratch is (2, bh+2, Wp, C); grid (B, H/bh) run sequentially."""
+            nB: int, nCo: int, W: int, C: int, coN: int):
+    """Grid (B, H/bh, Cout/coN), all sequential; co innermost so the window
+    scratch (2, bh+2, W+2pad, C) is reused across weight column blocks."""
     b = pl.program_id(0)
     i = pl.program_id(1)
-    t = b * nI + i                      # linear iteration index
+    co = pl.program_id(2)
+    t = b * nI + i                      # linear row-block index
 
     def dma(slot, bb, ii):
         return pltpu.make_async_copy(
@@ -44,80 +52,98 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, xwin, sem, *, bh: int, nI: int,
             sem.at[slot],
         )
 
-    # warm-up: first iteration fetches its own window
-    @pl.when(t == 0)
-    def _first():
-        dma(0, b, i).start()
+    @pl.when(co == 0)
+    def _fetch():
+        @pl.when(t == 0)
+        def _first():
+            dma(0, b, i).start()
+        dma(t % 2, b, i).wait()
+        # window for block t is resident: prefetch block t+1 into the
+        # other slot while every co-tile of t computes
+        @pl.when(t + 1 < nB * nI)
+        def _prefetch():
+            nxt = t + 1
+            dma((t + 1) % 2, nxt // nI, nxt % nI).start()
 
-    # prefetch the NEXT block's window into the other slot
-    @pl.when(t + 1 < nB * nI)
-    def _prefetch():
-        nxt = t + 1
-        dma((t + 1) % 2, nxt // nI, nxt % nI).start()
+    slot = t % 2
 
-    dma(t % 2, b, i).wait()
-    xw = xwin[t % 2]
-
-    acc = jnp.zeros((bh * W, Cout), jnp.float32)
+    acc = None
     for dy in range(3):
-        for dx in range(3):
-            xs = xw[dy:dy + bh, dx:dx + W, :].reshape(bh * W, C)
-            acc = acc + jax.lax.dot(
-                xs, w_ref[dy, dx], preferred_element_type=jnp.float32)
+        # slice the scratch ref directly (loads only the (bh, W, C) region;
+        # indexing the ref by slot first would copy the whole window per
+        # co-tile); the three dx lane-concats build the (bh*W, 3C) im2col
+        # strip for this dy
+        xcat = jnp.concatenate(
+            [xwin[slot, dy:dy + bh, dx:dx + W, :].reshape(bh * W, C)
+             for dx in range(3)], axis=-1)
+        d = jax.lax.dot(xcat, w_ref[dy], preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
     acc = acc + b_ref[0].astype(jnp.float32)
-    o_ref[0] = acc.reshape(bh, W, Cout).astype(o_ref.dtype)
+    o_ref[0] = acc.reshape(bh, W, coN).astype(o_ref.dtype)
 
 
-def _auto_block_rows(W: int, C: int, Cout: int, itemsize: int = 2) -> int:
-    """Largest bh in {8,16,32} whose working set fits a ~12 MB VMEM budget:
-    2 input windows + (Mosaic-double-buffered) 2 output blocks + weights +
-    the fp32 accumulator."""
-    budget = 12 * 1024 * 1024
-    w_bytes = 9 * C * Cout * itemsize
+def _pick_blocks(W: int, C: int, Cout: int, itemsize: int = 2):
+    """(block_rows, cout_block) under the 16 MB scoped-VMEM limit, with
+    headroom.  Accounts: 2 window slots + 2 pipelined weight blocks +
+    2 output blocks + the fp32 accumulator + im2col strip."""
+    budget = 13 * 1024 * 1024
+    wp = -(-(W + 2) // 8) * 8
+    co_cands = [c for c in (512, 256, 128) if c <= Cout and Cout % c == 0] \
+        or [Cout]
+    best = None
     for bh in (32, 16, 8):
-        wp = -(-(W + 2) // 8) * 8
-        win = (bh + 2) * wp * C * itemsize
-        out = bh * W * Cout * itemsize
-        acc = bh * W * Cout * 4
-        if 2 * win + 2 * out + acc + w_bytes <= budget:
-            return bh
-    return 8
+        for coN in co_cands:
+            win = 2 * (bh + 2) * wp * C * itemsize
+            wgt = 2 * 9 * C * coN * itemsize
+            out = 2 * bh * W * coN * itemsize
+            acc = bh * W * coN * 4
+            strip = bh * W * 3 * C * itemsize
+            if win + wgt + out + acc + strip <= budget:
+                cand = (bh, coN)
+                if best is None or (bh, coN) > best:
+                    best = cand
+    return best or (8, 128)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
-def conv3x3_same(x, w, b=None, *, block_rows: int = 0):
+@functools.partial(jax.jit, static_argnames=("block_rows", "cout_block"))
+def conv3x3_same(x, w, b=None, *, block_rows: int = 0, cout_block: int = 0):
     """x (B,H,W,C) NHWC, w (3,3,C,Cout) HWIO, b (Cout,) -> (B,H,W,Cout).
 
-    block_rows=0 means auto (VMEM-budget heuristic)."""
+    block_rows/cout_block of 0 mean auto (VMEM-budget heuristic)."""
     B, H, W, C = x.shape
     Cout = w.shape[3]
-    bh = block_rows or _auto_block_rows(W, C, Cout, x.dtype.itemsize)
+    abh, acoN = _pick_blocks(W, C, Cout, x.dtype.itemsize)
+    bh = block_rows or abh
+    coN = cout_block or acoN
     Hp = -(-H // bh) * bh          # pad rows to a block multiple
     Wp = -(-(W + 2) // 8) * 8      # window width tileable (sublane multiple)
     xp = jnp.pad(x, ((0, 0), (1, 1 + (Hp - H)), (1, Wp - W - 1), (0, 0)))
+    # (3, 3C, Cout): contraction index = dx*C + c (lane-concat order)
+    wcat = w.reshape(3, 3 * C, Cout)
     bias = jnp.zeros((1, Cout), jnp.float32) if b is None else \
         b.astype(jnp.float32).reshape(1, Cout)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, bh=bh, nI=Hp // bh, nB=B, W=W, C=C,
-                          Cout=Cout),
-        grid=(B, Hp // bh),
+        functools.partial(_kernel, bh=bh, nI=Hp // bh, nB=B, nCo=Cout // coN,
+                          W=W, C=C, coN=coN),
+        grid=(B, Hp // bh, Cout // coN),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),       # stays in HBM
-            pl.BlockSpec((3, 3, C, Cout), lambda b, i: (0, 0, 0, 0)),
-            pl.BlockSpec((1, Cout), lambda b, i: (0, 0)),
+            pl.BlockSpec((3, 3 * C, coN), lambda b, i, co: (0, 0, co)),
+            pl.BlockSpec((1, coN), lambda b, i, co: (0, co)),
         ],
-        out_specs=pl.BlockSpec((1, bh, W, Cout), lambda b, i: (b, i, 0, 0)),
+        out_specs=pl.BlockSpec((1, bh, W, coN),
+                               lambda b, i, co: (b, i, 0, co)),
         out_shape=jax.ShapeDtypeStruct((B, Hp, W, Cout), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, bh + 2, Wp, C), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            # both dims sequential: the cross-iteration prefetch assumes
+            # all dims sequential: the cross-iteration prefetch assumes
             # linear iteration order
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
-    )(xp, w, bias)
+    )(xp, wcat, bias)
 
     return out[:, :H]

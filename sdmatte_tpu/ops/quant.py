@@ -1,0 +1,88 @@
+"""Int8 quantized conv path for the VAE (v5e has 2x int8 MACs vs bf16).
+
+The reference's answer to conv cost is none (cuDNN fp16 autocast,
+sdmatte_nodes.py:355-358); on v5e the MXU doubles its MAC rate at int8, and
+the VAE's pixel-space convs carry most of the matte's FLOPs
+(docs/ARCHITECTURE.md) — so an int8 VAE is the main FLOP-reduction lever
+toward the 1024px latency target (VERDICT round 1, item 1).
+
+Scheme (symmetric, zero-point-free — TPU-friendly, no offset terms):
+  * weights: per-output-channel scale, quantized ONCE at pipeline build
+    (quantize_conv_params), stored alongside the fp tree
+  * activations: dynamic per-tensor scale (amax/127), computed in fp32 on
+    device per conv — no calibration pass needed, robust to any checkpoint
+  * conv in int8 x int8 -> int32 (XLA lowers to the MXU's int8 path),
+    dequantized by s_x * s_w[c] and biased in fp32, output bf16
+
+Quality control: eval/quality.py compares the int8 pipeline against bf16 on
+the synthetic-composite set; the bf16 end-to-end budget is MAE <= 1e-2 vs
+fp32 (docs/ROADMAP.md precision audit), and int8 must stay inside the same
+envelope to ship as a default; otherwise it stays an opt-in speed mode.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def quantize_weights_int8(w):
+    """HWIO conv kernel -> (int8 kernel, fp32 per-output-channel scale)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=(0, 1, 2))          # (Cout,)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    wq = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return wq, scale
+
+
+def quantize_act_int8(x):
+    """Dynamic per-tensor symmetric quantization -> (int8 x, fp32 scale)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf))
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def conv2d_int8(x, wq, w_scale, bias=None, *, stride: int = 1, padding=1,
+                out_dtype=jnp.bfloat16):
+    """NHWC int8 conv: dynamic act quant -> int8 MXU conv -> fp32 dequant."""
+    xq, s_x = quantize_act_int8(x)
+    if isinstance(padding, int):
+        pad = [(padding, padding), (padding, padding)]
+    else:
+        pad = [tuple(padding[0]), tuple(padding[1])]
+    y = lax.conv_general_dilated(
+        xq, wq, window_strides=(stride, stride), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    yf = y.astype(jnp.float32) * (s_x * w_scale.astype(jnp.float32))
+    if bias is not None:
+        yf = yf + bias.astype(jnp.float32)
+    return yf.astype(out_dtype)
+
+
+def quantize_conv_params(p):
+    """Augment one conv's param dict {kernel, bias} with int8 fields."""
+    wq, scale = quantize_weights_int8(p["kernel"])
+    out = dict(p)
+    out["kernel_q"] = wq
+    out["kernel_scale"] = scale
+    return out
+
+
+def quantize_vae_tree(vae_params):
+    """Walk the VAE param tree and add int8 kernels to every 3x3 conv.
+
+    1x1 convs (quant_conv, shortcuts) and norms are left fp — they are
+    cheap, and the 1x1s sit on numerically sensitive paths (latent
+    moments)."""
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 4 \
+                    and node["kernel"].shape[0] == 3:
+                return quantize_conv_params(node)
+            return {k: walk(v) for k, v in node.items()}
+        return node
+    return walk(vae_params)

@@ -51,7 +51,7 @@ class PipelineOptions:
 class MattingPipeline:
     def __init__(self, params, cfg: SDMatteConfig, *, policy: Policy = FP32,
                  attn_impl: str = "auto", tokenizer=None,
-                 vae_chunk: Optional[int] = None):
+                 vae_chunk: Optional[int] = None, vae_int8: bool = False):
         self.cfg = cfg
         self.policy = policy
         self.attn_impl = attn_impl
@@ -65,6 +65,12 @@ class MattingPipeline:
         # move params to device once, in compute dtype for the big tensors
         self.params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, policy.param_dtype), params)
+        if vae_int8:
+            # opt-in speed mode: int8 3x3 VAE convs (2x MXU MAC rate);
+            # quality budget measured by benchmarks/quality.py --vae-int8
+            from ..ops.quant import quantize_vae_tree
+            self.params = dict(self.params)
+            self.params["vae"] = quantize_vae_tree(self.params["vae"])
         # traces per graph kind (observability + the recompile-bound tests)
         self._trace_counts = {"pre": 0, "heavy": 0, "post": 0}
 
