@@ -102,32 +102,49 @@ def main():
         except Exception as e:
             print(f"  int8-xla FAILED: {str(e)[:90]}", flush=True)
 
-        # --- pallas block sweep ------------------------------------------
-        best = (t_xla, "xla", 0, 0)
+        # --- pallas (bh, Wc, coN) sweep -----------------------------------
+        from sdmatte_tpu.ops.conv3x3 import _pick_blocks
+        auto = _pick_blocks(s, ci, co)
+        wc_opts = [c for c in (512, 256, 128) if c <= s and s % c == 0] or [s]
+        co_opts = [c for c in (256, 128) if c <= co and co % c == 0] or [co]
+
+        def vmem_est(bh, Wc, coN):
+            return (2 * (bh + 2) * Wc * 3 * ci * 2 + 2 * 9 * ci * coN * 2
+                    + 2 * bh * Wc * coN * 2 + bh * Wc * coN * 4)
+
+        cands = {auto}
         for bh in (8, 16, 32):
-            for coN in {128, 256, co if co <= 512 else 512} & set(
-                    c for c in (128, 256, 512) if c <= co and co % c == 0):
-                try:
-                    f = chain(lambda x, w, bh=bh, coN=coN: conv3x3_same(
-                        x, w, block_rows=bh, cout_block=coN), (b, s, s, co))
-                    t = time_call(f, x, w)
-                except Exception as e:
-                    print(f"  pallas bh={bh} coN={coN}: FAIL {str(e)[:60]}",
-                          flush=True)
-                    continue
-                mark = " <-" if t < best[0] else ""
-                print(f"  pallas bh={bh} coN={coN}: {t*1e3:7.2f} ms "
-                      f"{fl/t/1e12:5.1f} TF/s{mark}", flush=True)
-                if t < best[0]:
-                    best = (t, "pallas", bh, coN)
+            for Wc in wc_opts[:2]:
+                for coN in co_opts:
+                    # skip configs sure to OOM scoped VMEM (each failed
+                    # Mosaic compile costs minutes via the tunnel)
+                    if vmem_est(bh, Wc, coN) <= 15 * 1024 * 1024:
+                        cands.add((bh, Wc, coN))
+        best = (t_xla, "xla", 0, 0, 0)
+        for bh, Wc, coN in sorted(cands):
+            try:
+                f = chain(lambda x, w, bh=bh, Wc=Wc, coN=coN: conv3x3_same(
+                    x, w, block_rows=bh, block_cols=Wc, cout_block=coN),
+                    (b, s, s, co))
+                t = time_call(f, x, w)
+            except Exception as e:
+                print(f"  pallas bh={bh} Wc={Wc} coN={coN}: FAIL {str(e)[:60]}",
+                      flush=True)
+                continue
+            mark = " <-" if t < best[0] else ""
+            auto_mark = " (auto)" if (bh, Wc, coN) == auto else ""
+            print(f"  pallas bh={bh} Wc={Wc} coN={coN}: {t*1e3:7.2f} ms "
+                  f"{fl/t/1e12:5.1f} TF/s{mark}{auto_mark}", flush=True)
+            if t < best[0]:
+                best = (t, "pallas", bh, Wc, coN)
         best_table[(b, s, ci, co)] = (round(t_xla / best[0], 3),) + best[1:]
-        print(f"  => best: {best[1]} bh={best[2]} coN={best[3]} "
+        print(f"  => best: {best[1]} bh={best[2]} Wc={best[3]} coN={best[4]} "
               f"({t_xla/best[0]:.2f}x vs xla)", flush=True)
 
     print("\nPALLAS_CONV_WINS = {")
-    for (b, s, ci, co), (sp, kind, bh, coN) in best_table.items():
+    for (b, s, ci, co), (sp, kind, bh, Wc, coN) in best_table.items():
         if kind == "pallas":
-            print(f"    ({b}, {s}, {ci}, {co}): ({sp}, {bh}, {coN}),")
+            print(f"    ({b}, {s}, {ci}, {co}): ({sp}, {bh}, {Wc}, {coN}),")
     print("}")
 
 

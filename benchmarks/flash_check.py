@@ -54,11 +54,28 @@ def main():
         out = flash_attention(q, k, v, scale=scale, bias=bias)
         out.block_until_ready()
         t_compile = time.time() - t0
-        t0 = time.time()
+        # self-feeding in-graph chain (out -> next q) + overhead subtraction:
+        # a bare dispatch+fetch costs ~32 ms on the dev tunnel and would
+        # dominate per-call timing (see benchmarks/conv_clean.py)
+        REPS = 8 if lq * lk >= 16384 * 16384 else 32
+        if lq == lk:
+            import jax.lax as lax
+            fj = jax.jit(lambda q, k, v: lax.fori_loop(
+                0, REPS, lambda i, y: flash_attention(
+                    y, k, v, scale=scale, bias=bias), q))
+        else:
+            import jax.lax as lax
+            fj = jax.jit(lambda q, k, v: lax.fori_loop(
+                0, REPS, lambda i, y: flash_attention(
+                    q + 1e-6 * i.astype(q.dtype) * y, k, v, scale=scale,
+                    bias=bias), q))
+        o = fj(q, k, v); float(jnp.sum(o[..., :1, :1]))
+        ts = []
         for _ in range(3):
-            out = flash_attention(q, k, v, scale=scale, bias=bias)
-        out.block_until_ready()
-        t_run = (time.time() - t0) / 3
+            t0 = time.time()
+            o = fj(q, k, v); float(jnp.sum(o[..., :1, :1]))
+            ts.append(time.time() - t0)
+        t_run = (float(np.median(ts)) - 0.032) / REPS
         # parity on a query slice (full XLA ref would OOM at 16k x 16k x heads)
         ref = attention_xla(q[:, :, :256], k, v, scale=scale, bias=bias)
         err = float(jnp.abs(out[:, :, :256].astype(jnp.float32)

@@ -21,9 +21,24 @@ v3 (round 2) — what the measurements taught:
   * cross-row-block double-buffered window DMA (kept from v2): while
     block t computes, block t+1's window is in flight.
 
-Used where measured faster than XLA's native conv (benchmarks/conv_check.py
-drives the measurement; ops/dispatch.py holds the winner table consulted by
-core/nn.conv2d).  Constraints: NHWC, kernel 3x3, stride 1, SAME padding.
+A v4 ("zero-relayout im2col": dx shifts folded into lane-region DMAs from
+HBM, W chunked by a fourth grid dim) was built and is parity-correct in
+interpret mode, but this toolchain's remote Mosaic compiler rejects BOTH a
+column-sliced (3-axis) HBM DMA source and a lane-sliced VMEM DMA
+destination (minimal repros in /tmp/dma_probe.log history; every config
+failed with tpu_compile_helper exit 1 while the 2-axis-slice v3 DMA
+compiles fine).  If a future toolchain accepts those, v4 removes the one
+remaining VPU cost here (the dx-shifted slice + concat per dy).
+
+Measurement-methodology note: per-call dispatch+fetch overhead on this dev
+tunnel is ~32 ms flat, and chained-accumulator harnesses add full HBM
+passes per rep — benchmarks/conv_clean.py uses self-feeding conv chains
+(y = conv(y, w)) minus measured overhead for honest per-conv times; the
+dispatch table in ops/dispatch.py is generated from it.
+
+Used where measured faster than XLA's native conv (ops/dispatch.py holds
+the winner table consulted by core/nn.conv2d).  Constraints: NHWC, kernel
+3x3, stride 1, SAME padding.
 """
 
 from __future__ import annotations
