@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--infer-size", type=int, default=None)
     ap.add_argument("--ckpt", default=None, help="SDMatte safetensors path")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--vae-int8", action="store_true",
+                    help="also score the int8-VAE speed mode and report the "
+                         "delta vs the bf16 pipeline (quality budget gate)")
     args = ap.parse_args()
 
     if args.cpu or args.tiny:
@@ -52,15 +55,25 @@ def main():
     pipe = MattingPipeline(params, cfg, policy=FP32 if args.tiny else BF16,
                            attn_impl="auto" if not args.tiny else "xla")
 
+    pipes = {"bf16": pipe}
+    if args.vae_int8:
+        pipes["int8"] = MattingPipeline(
+            params, cfg, policy=FP32 if args.tiny else BF16,
+            attn_impl="auto" if not args.tiny else "xla", vae_int8=True)
+
     infer = args.infer_size or (64 if args.tiny else 512)
     opts = PipelineOptions(inference_size=infer, mask_refine=True)
     rows = []
+    int8_mae = []
     for case in make_eval_set(args.size):
-        alpha, _ = pipe(case["image"], case["trimap"], options=opts)
+        alpha, _ = pipes["bf16"](case["image"], case["trimap"], options=opts)
         pred = np.asarray(alpha)[0]
         m = evaluate(pred, case["alpha_gt"], case["trimap"])
         m["case"] = case["name"]
         rows.append(m)
+        if "int8" in pipes:
+            a8, _ = pipes["int8"](case["image"], case["trimap"], options=opts)
+            int8_mae.append(float(np.abs(np.asarray(a8)[0] - pred).mean()))
 
     hdr = f"{'case':16s} {'SAD':>9s} {'MSE':>9s} {'Grad':>9s} {'Conn':>9s}"
     print(hdr)
@@ -73,8 +86,15 @@ def main():
     print("-" * len(hdr))
     print(f"{'mean':16s} {mean['SAD']:9.3f} {mean['MSE']:9.5f} "
           f"{mean['Grad']:9.3f} {mean['Conn']:9.3f}")
-    print(json.dumps({"metric": "matting_quality_mean", **mean,
-                      "weights": "real" if args.ckpt else "random"}))
+    out = {"metric": "matting_quality_mean", **mean,
+           "weights": "real" if args.ckpt else "random"}
+    if int8_mae:
+        # gate: int8 must stay inside the bf16-vs-fp32 parity envelope
+        # (alpha MAE <= 1e-2, docs/ROADMAP.md precision audit)
+        out["int8_vs_bf16_alpha_mae"] = round(float(np.mean(int8_mae)), 5)
+        print(f"int8 vs bf16 alpha MAE: {out['int8_vs_bf16_alpha_mae']:.5f} "
+              f"(budget 0.01)")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -57,14 +57,17 @@ def conv2d(p, x, *, stride: int = 1, padding=1, policy: Policy = FP32):
 
     if (k.shape[0] == 3 and k.shape[1] == 3 and stride == 1
             and pad == [(1, 1), (1, 1)] and x.ndim == 4):
-        from ..ops.dispatch import use_pallas_conv3x3
+        from ..ops.dispatch import pallas_conv3x3_config
         b, h, w, _ = x.shape
-        if use_pallas_conv3x3(b, h, w, k.shape[2], k.shape[3],
-                              dtype_ok=policy.compute_dtype == jnp.bfloat16):
+        cfg = pallas_conv3x3_config(
+            b, h, w, k.shape[2], k.shape[3],
+            dtype_ok=policy.compute_dtype == jnp.bfloat16)
+        if cfg is not None:
             from ..ops.conv3x3 import conv3x3_same
             xb = policy.cast_compute(x)
             bias = p["bias"] if "bias" in p else None
-            return conv3x3_same(xb, k, bias)
+            return conv3x3_same(xb, k, bias, block_rows=cfg[0],
+                                cout_block=cfg[1])
 
     y = lax.conv_general_dilated(
         policy.cast_compute(x), k,
@@ -78,6 +81,30 @@ def conv2d(p, x, *, stride: int = 1, padding=1, policy: Policy = FP32):
     return y.astype(policy.compute_dtype)
 
 
+def group_norm_stats(p, x, *, groups: int = 32, eps: float = 1e-5):
+    """Per-(batch, channel) affine (a, d) such that GroupNorm(x) = x*a + d.
+
+    The reduction pass is unavoidable; the APPLY pass is a pure per-channel
+    affine that downstream consumers can fuse into their own input read —
+    the Pallas conv kernel applies (a, d) + SiLU in its window prologue
+    (ops/conv3x3.py), saving a full HBM round-trip per norm."""
+    b, h, w, c = x.shape
+    cg = c // groups
+    s1 = jnp.mean(x.astype(jnp.float32), axis=(1, 2))            # (B, C)
+    s2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2))
+    gm = jnp.mean(s1.reshape(b, groups, cg), axis=-1)            # (B, G)
+    g2 = jnp.mean(s2.reshape(b, groups, cg), axis=-1)
+    var = g2 - jnp.square(gm)
+    inv = lax.rsqrt(var + eps)                                   # (B, G)
+    inv_c = jnp.repeat(inv, cg, axis=-1)                         # (B, C)
+    mean_c = jnp.repeat(gm, cg, axis=-1)
+    scale = p["scale"].astype(jnp.float32)[None]
+    bias = p["bias"].astype(jnp.float32)[None]
+    a = inv_c * scale
+    d = bias - mean_c * a
+    return a, d
+
+
 def group_norm(p, x, *, groups: int = 32, eps: float = 1e-5):
     """GroupNorm over NHWC; statistics in fp32 (TPU numerics rule).
 
@@ -86,25 +113,49 @@ def group_norm(p, x, *, groups: int = 32, eps: float = 1e-5):
     slivers.  Stats reduce over (H,W) per channel first (native layout), then
     group-combine on the tiny (B,C) array; normalization broadcasts per
     channel."""
-    b, h, w, c = x.shape
     orig_dtype = x.dtype
-    cg = c // groups
-    # per-channel moments in fp32 (reduction accumulates fp32)
-    s1 = jnp.mean(x.astype(jnp.float32), axis=(1, 2))            # (B, C)
-    s2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2))
-    gm = jnp.mean(s1.reshape(b, groups, cg), axis=-1)            # (B, G)
-    g2 = jnp.mean(s2.reshape(b, groups, cg), axis=-1)
-    var = g2 - jnp.square(gm)
-    inv = lax.rsqrt(var + eps)                                   # (B, G)
-    # fold mean/inv/scale/bias into per-channel a, b: y = x * a + b
-    inv_c = jnp.repeat(inv, cg, axis=-1)                         # (B, C)
-    mean_c = jnp.repeat(gm, cg, axis=-1)
-    scale = p["scale"].astype(jnp.float32)[None]
-    bias = p["bias"].astype(jnp.float32)[None]
-    a = inv_c * scale
-    d = bias - mean_c * a
+    a, d = group_norm_stats(p, x, groups=groups, eps=eps)
     y = x.astype(jnp.float32) * a[:, None, None, :] + d[:, None, None, :]
     return y.astype(orig_dtype)
+
+
+def gn_silu_conv2d(p_norm, p_conv, x, *, groups: int = 32, eps: float = 1e-5,
+                   policy: Policy = FP32, residual=None):
+    """conv(silu(GroupNorm(x))) [+ residual] — the resnet hot pattern.
+
+    On shapes where the Pallas conv wins (ops/dispatch.py), the norm's
+    apply pass, the SiLU, and the residual add all fuse into the kernel
+    (prologue/epilogue), eliminating 2-3 full HBM round-trips per resnet
+    branch that XLA only gets by fusing into its own conv.  Elsewhere the
+    unfused composition runs (identical math)."""
+    k = p_conv["kernel"]
+    if (k.shape[0] == 3 and k.shape[1] == 3 and x.ndim == 4
+            and "kernel_q" not in p_conv):
+        from ..ops.dispatch import pallas_conv3x3_config
+        b, h, w, _ = x.shape
+        cfg = pallas_conv3x3_config(
+            b, h, w, k.shape[2], k.shape[3],
+            dtype_ok=policy.compute_dtype == jnp.bfloat16)
+        if cfg is not None and cfg[2]:
+            # gn fusion only where the measured table says it wins AND the
+            # fp32 affine window temp fits scoped VMEM (dispatch.py);
+            # likewise the residual epilogue
+            from ..ops.conv3x3 import conv3x3_same
+            a, dshift = group_norm_stats(p_norm, x, groups=groups, eps=eps)
+            bias = p_conv["bias"] if "bias" in p_conv else None
+            res = None
+            if residual is not None and cfg[3]:
+                res = policy.cast_compute(residual)
+            y = conv3x3_same(
+                policy.cast_compute(x), k.astype(policy.compute_dtype),
+                bias, affine=(a, dshift), residual=res,
+                block_rows=cfg[0], cout_block=cfg[1])
+            if residual is not None and res is None:
+                y = y + residual.astype(y.dtype)
+            return y
+    h = silu(group_norm(p_norm, x, groups=groups, eps=eps))
+    y = conv2d(p_conv, h, policy=policy)
+    return y if residual is None else y + residual.astype(y.dtype)
 
 
 def layer_norm(p, x, *, eps: float = 1e-5):

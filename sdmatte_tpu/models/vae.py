@@ -27,15 +27,19 @@ from ..ops.attention import attention
 # ----------------------------------------------------------------- blocks ---
 
 def _resnet(p, x, cfg: VAEConfig, policy: Policy):
-    h = F.group_norm(p["norm1"], x, groups=cfg.norm_num_groups, eps=cfg.norm_eps)
-    h = F.silu(h)
-    h = F.conv2d(p["conv1"], h, policy=policy)
-    h = F.group_norm(p["norm2"], h, groups=cfg.norm_num_groups, eps=cfg.norm_eps)
-    h = F.silu(h)
-    h = F.conv2d(p["conv2"], h, policy=policy)
+    # norm+silu+conv pairs run fused in the Pallas conv kernel on shapes
+    # where it wins (core/nn.gn_silu_conv2d; norm apply, SiLU, and the
+    # residual add never round-trip HBM there)
+    h = F.gn_silu_conv2d(p["norm1"], p["conv1"], x,
+                         groups=cfg.norm_num_groups, eps=cfg.norm_eps,
+                         policy=policy)
     if "conv_shortcut" in p:
-        x = F.conv2d(p["conv_shortcut"], x, padding=0, policy=policy)
-    return x + h
+        res = F.conv2d(p["conv_shortcut"], x, padding=0, policy=policy)
+    else:
+        res = x
+    return F.gn_silu_conv2d(p["norm2"], p["conv2"], h,
+                            groups=cfg.norm_num_groups, eps=cfg.norm_eps,
+                            policy=policy, residual=res)
 
 
 def _attn(p, x, cfg: VAEConfig, policy: Policy, attn_impl: str):

@@ -51,10 +51,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_hbm, w_ref, b_ref, o_ref, xwin, sem, *, bh: int, nI: int,
-            nB: int, nCo: int, W: int, C: int, coN: int):
+def _kernel(x_hbm, w_ref, b_ref, *rest, bh: int, nI: int,
+            nB: int, nCo: int, W: int, C: int, coN: int, H: int,
+            fuse_gn: bool, fuse_res: bool):
     """Grid (B, H/bh, Cout/coN), all sequential; co innermost so the window
-    scratch (2, bh+2, W+2pad, C) is reused across weight column blocks."""
+    scratch (2, bh+2, W+2pad, C) is reused across weight column blocks.
+
+    Optional fusions (both save a full HBM round-trip of the activation
+    that XLA would get by fusing into its own conv — a custom call has to
+    earn them back by hand):
+      fuse_gn:  the GroupNorm affine + SiLU prologue is applied IN the
+                window right after its DMA lands (once per row-block, not
+                per co-tile).  The zero-padding border must stay zero
+                through the nonlinearity (silu(0*a+d) = silu(d) != 0), so
+                padded rows/cols are re-masked after the activation.
+      fuse_res: the residual add rides the output epilogue; the residual
+                block streams in via a Mosaic-pipelined BlockSpec.
+    """
+    rest = list(rest)
+    ad_ref = rest.pop(0) if fuse_gn else None
+    res_ref = rest.pop(0) if fuse_res else None
+    o_ref, xwin, sem = rest
+
     b = pl.program_id(0)
     i = pl.program_id(1)
     co = pl.program_id(2)
@@ -79,6 +97,25 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, xwin, sem, *, bh: int, nI: int,
         def _prefetch():
             nxt = t + 1
             dma((t + 1) % 2, nxt // nI, nxt % nI).start()
+        if fuse_gn:
+            sl = t % 2
+            win = xwin[sl].astype(jnp.float32)
+            a = ad_ref[0, 0].astype(jnp.float32)       # (C,)
+            d = ad_ref[0, 1].astype(jnp.float32)
+            y = win * a + d
+            y = y * jax.nn.sigmoid(y)                  # silu
+            # padding rows/cols were zero pre-affine and must stay zero:
+            # window row r is xp row i*bh + r; xp row 0 and rows >= H+1
+            # are padding, as are cols 0 and >= W+1
+            wp = xwin.shape[2]
+            # 3-D iotas: Mosaic can't insert a minor dim on a sub-32-bit
+            # mask, so build the mask at broadcast rank directly
+            row_ids = i * bh + jax.lax.broadcasted_iota(
+                jnp.int32, (bh + 2, wp, 1), 0)
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wp, 1), 1)
+            interior = ((row_ids >= 1) & (row_ids <= H)
+                        & (col_ids >= 1) & (col_ids <= W))
+            xwin[sl] = jnp.where(interior, y, 0.0).astype(xwin.dtype)
 
     slot = t % 2
 
@@ -94,13 +131,17 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, xwin, sem, *, bh: int, nI: int,
         d = jax.lax.dot(xcat, w_ref[dy], preferred_element_type=jnp.float32)
         acc = d if acc is None else acc + d
     acc = acc + b_ref[0].astype(jnp.float32)
+    if fuse_res:
+        acc = acc + res_ref[0].reshape(bh * W, coN).astype(jnp.float32)
     o_ref[0] = acc.reshape(bh, W, coN).astype(o_ref.dtype)
 
 
-def _pick_blocks(W: int, C: int, Cout: int, itemsize: int = 2):
+def _pick_blocks(W: int, C: int, Cout: int, itemsize: int = 2,
+                 fuse_gn: bool = False, fuse_res: bool = False):
     """(block_rows, cout_block) under the 16 MB scoped-VMEM limit, with
     headroom.  Accounts: 2 window slots + 2 pipelined weight blocks +
-    2 output blocks + the fp32 accumulator + im2col strip."""
+    2 output blocks + the fp32 accumulator + im2col strip + (if fused)
+    the fp32 affine temp and the double-buffered residual block."""
     budget = 13 * 1024 * 1024
     wp = -(-(W + 2) // 8) * 8
     co_cands = [c for c in (512, 256, 128) if c <= Cout and Cout % c == 0] \
@@ -113,7 +154,12 @@ def _pick_blocks(W: int, C: int, Cout: int, itemsize: int = 2):
             out = 2 * bh * W * coN * itemsize
             acc = bh * W * coN * 4
             strip = bh * W * 3 * C * itemsize
-            if win + wgt + out + acc + strip <= budget:
+            extra = 0
+            if fuse_gn:          # fp32 window temp during affine+silu
+                extra += (bh + 2) * wp * C * 4
+            if fuse_res:         # 2 pipelined residual blocks
+                extra += 2 * bh * W * coN * itemsize
+            if win + wgt + out + acc + strip + extra <= budget:
                 cand = (bh, coN)
                 if best is None or (bh, coN) > best:
                     best = cand
@@ -121,13 +167,21 @@ def _pick_blocks(W: int, C: int, Cout: int, itemsize: int = 2):
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "cout_block"))
-def conv3x3_same(x, w, b=None, *, block_rows: int = 0, cout_block: int = 0):
+def conv3x3_same(x, w, b=None, *, affine=None, residual=None,
+                 block_rows: int = 0, cout_block: int = 0):
     """x (B,H,W,C) NHWC, w (3,3,C,Cout) HWIO, b (Cout,) -> (B,H,W,Cout).
 
+    affine: optional (a, d) pair of (B, C) fp32 arrays — computes
+    conv(silu(x * a + d)) with the GroupNorm-affine + SiLU applied in the
+    kernel window (one fused HBM pass; see core/nn.group_norm_stats).
+    residual: optional (B, H, W, Cout) tensor added to the conv output in
+    the kernel epilogue.
     block_rows/cout_block of 0 mean auto (VMEM-budget heuristic)."""
     B, H, W, C = x.shape
     Cout = w.shape[3]
-    abh, acoN = _pick_blocks(W, C, Cout, x.dtype.itemsize)
+    abh, acoN = _pick_blocks(W, C, Cout, x.dtype.itemsize,
+                             fuse_gn=affine is not None,
+                             fuse_res=residual is not None)
     bh = block_rows or abh
     coN = cout_block or acoN
     Hp = -(-H // bh) * bh          # pad rows to a block multiple
@@ -138,15 +192,31 @@ def conv3x3_same(x, w, b=None, *, block_rows: int = 0, cout_block: int = 0):
     bias = jnp.zeros((1, Cout), jnp.float32) if b is None else \
         b.astype(jnp.float32).reshape(1, Cout)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),       # stays in HBM
+        pl.BlockSpec((3, 3 * C, coN), lambda b, i, co: (0, 0, co)),
+        pl.BlockSpec((1, coN), lambda b, i, co: (0, co)),
+    ]
+    operands = [xp, wcat, bias]
+    if affine is not None:
+        a, d = affine
+        ad = jnp.stack([a, d], axis=1).astype(jnp.float32)   # (B, 2, C)
+        in_specs.append(pl.BlockSpec((1, 2, C), lambda b, i, co: (b, 0, 0)))
+        operands.append(ad)
+    if residual is not None:
+        if Hp != H:
+            residual = jnp.pad(residual, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+        in_specs.append(pl.BlockSpec((1, bh, W, coN),
+                                     lambda b, i, co: (b, i, 0, co)))
+        operands.append(residual)
+
     out = pl.pallas_call(
         functools.partial(_kernel, bh=bh, nI=Hp // bh, nB=B, nCo=Cout // coN,
-                          W=W, C=C, coN=coN),
+                          W=W, C=C, coN=coN, H=H,
+                          fuse_gn=affine is not None,
+                          fuse_res=residual is not None),
         grid=(B, Hp // bh, Cout // coN),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # stays in HBM
-            pl.BlockSpec((3, 3 * C, coN), lambda b, i, co: (0, 0, co)),
-            pl.BlockSpec((1, coN), lambda b, i, co: (0, co)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bh, W, coN),
                                lambda b, i, co: (b, i, 0, co)),
         out_shape=jax.ShapeDtypeStruct((B, Hp, W, Cout), x.dtype),
@@ -159,6 +229,6 @@ def conv3x3_same(x, w, b=None, *, block_rows: int = 0, cout_block: int = 0):
             # linear iteration order
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
-    )(xp, wcat, bias)
+    )(*operands)
 
     return out[:, :H]

@@ -1,16 +1,18 @@
 """Measured kernel dispatch: per-shape winner table for the 3x3 conv.
 
-XLA's native conv sustains only ~30-60 TF/s on the VAE's hot shapes at
-1024px (benchmarks/stage_profile.py), and the VAE is where most of the
-matte's FLOPs live (docs/ARCHITECTURE.md accounting) — so conv is the one
-op where a hand kernel (ops/conv3x3.py, implicit GEMM with double-buffered
-halo DMA) is dispatched per shape when it measured faster on hardware.
+XLA's native conv sustains 60-165 TF/s on the VAE's hot shapes (true rates
+after overhead correction, benchmarks/conv_clean.py), and the VAE is where
+most of the matte's FLOPs live (docs/ARCHITECTURE.md) — so conv is the one
+op where the hand kernel (ops/conv3x3.py, implicit GEMM with K-concat
+im2col) is dispatched per shape when it measured faster on hardware.
 
-The table below is GENERATED from benchmarks/conv_check.py runs on a real
-v5e chip (values = measured pallas-over-XLA speedup).  Entries are exact
-(batch, spatial, cin, cout) shapes; anything not listed falls back to XLA.
+The table below is GENERATED from benchmarks/conv_clean.py runs on a real
+v5e chip (self-feeding chains, dispatch overhead subtracted).  Entries map
+exact (batch, spatial, cin, cout) shapes to (measured speedup over XLA,
+block_rows, cout_block); anything not listed falls back to XLA.
 Interpolation is deliberately avoided: conv performance on TPU is not
-monotone in shape, and a mispredicted dispatch is a silent regression.
+monotone in shape, a config that wins one shape OOMs scoped VMEM on
+another, and a mispredicted dispatch is a silent regression.
 
 The reference has no analogue — its conv choice is whatever cuDNN picks
 (torch conv2d inside diffusers blocks).
@@ -18,23 +20,69 @@ The reference has no analogue — its conv choice is whatever cuDNN picks
 
 from __future__ import annotations
 
+import os
+
 import jax
 
-# (batch, spatial, cin, cout) -> measured pallas speedup over XLA (>1 wins).
-# Measured on TPU v5e (benchmarks/conv_check.py, bf16, 8-conv chains).
-# Populated from the round-2 measurement run; keep in sync with the log in
-# docs/ROADMAP.md.
-PALLAS_CONV_WINS: dict[tuple[int, int, int, int], float] = {}
+# (batch, spatial, cin, cout) ->
+#     (speedup vs XLA, block_rows, cout_block, fuse_gn, fuse_residual).
+# fuse_gn / fuse_residual: whether the GroupNorm-affine+SiLU prologue /
+# residual epilogue fusions (ops/conv3x3.py) should ride this dispatch.
+# Measured, not modeled — the fp32 affine window temp OOMs the 16 MB
+# scoped-VMEM limit at C>=256, and where it compiles it only wins at
+# 1024²x128 (benchmarks/fused_tune.py, resnet-pattern chains); residual
+# fusion never won.
+#
+# History of the table (all on TPU v5e, bf16):
+#   * bare-conv chains (benchmarks/conv_clean.py, overhead-corrected)
+#     produced the original candidates; validated IN-GRAPH by
+#     benchmarks/ab_conv.py same-session A/B: full VAE encode
+#     190.6 -> 139.5 ms (1.37x) — kept.
+#   * decoder (b=1) entries: despite isolated wins up to 2.03x, ANY pallas
+#     conv inside the real decode graph made it ~2x SLOWER (118.5 ->
+#     231 ms; a single 3-conv entry cost +79 ms).  HLO diff shows why: XLA
+#     runs the whole decoder in a row-blocked internal form
+#     (f32[1024,8,129,128]{3,1,2,0} convolutions, zero full-size NHWC
+#     materializations), and every custom-call boundary forces the stage
+#     back to NHWC — dozens of 256 MB relayouts.  The decoder therefore
+#     stays pure XLA.  (The b=2 encoder graph does not get that blocked
+#     form — presumably the asymmetric-padding downsamples block it — so
+#     pallas wins there.)
+#   * resnet-pattern chains (benchmarks/fused_tune.py, 2026-08-16: the
+#     gn+silu+conv+residual composite, i.e. what the VAE actually runs):
+#     1024²x128 xla 12.71 / conv 8.84 / fused-gn 8.26 ms -> fgn dispatched;
+#     512²x256 conv wins 1.35x, 256²x512 conv wins 1.24x (fgn OOMs both);
+#     128²x512 is a wash in-context (0.87 vs 0.87 ms) -> entry dropped.
+PALLAS_CONV_WINS: dict[tuple[int, int, int, int],
+                       tuple[float, int, int, bool, bool]] = {
+    (2, 1024, 128, 128): (1.54, 8, 128, True, False),
+    (2, 512, 256, 256): (1.35, 8, 128, False, False),
+    (2, 256, 512, 512): (1.24, 8, 128, False, False),
+    # mixed-channel pairs (measured as ci->co->ci chains)
+    (2, 512, 128, 256): (1.13, 8, 128, False, False),
+    (2, 512, 256, 128): (1.13, 8, 128, False, False),
+}
 
 _MIN_SPEEDUP = 1.05  # dispatch only on a clear win
 
 
-def use_pallas_conv3x3(b: int, h: int, w: int, cin: int, cout: int,
-                       *, stride: int = 1, dtype_ok: bool = True) -> bool:
-    """True when the Pallas conv3x3 kernel should take this shape."""
+def pallas_conv3x3_config(b: int, h: int, w: int, cin: int, cout: int,
+                          *, stride: int = 1, dtype_ok: bool = True):
+    """(block_rows, cout_block, fuse_gn, fuse_residual) when the Pallas
+    kernel should take this shape, else None."""
+    if os.environ.get("SDMATTE_NO_PALLAS_CONV"):   # A/B + escape hatch
+        return None
     if stride != 1 or not dtype_ok or h != w:
-        return False
+        return None
     if jax.default_backend() != "tpu":
-        return False
-    speedup = PALLAS_CONV_WINS.get((b, h, cin, cout), 0.0)
-    return speedup >= _MIN_SPEEDUP
+        return None
+    entry = PALLAS_CONV_WINS.get((b, h, cin, cout))
+    if entry is None or entry[0] < _MIN_SPEEDUP:
+        return None
+    only = os.environ.get("SDMATTE_PALLAS_ONLY")   # bisection aid:
+    if only:                                        # "b,s,ci,co;b,s,ci,co"
+        allowed = {tuple(int(v) for v in item.split(","))
+                   for item in only.split(";") if item}
+        if (b, h, cin, cout) not in allowed:
+            return None
+    return entry[1], entry[2], entry[3], entry[4]

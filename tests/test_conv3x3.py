@@ -44,3 +44,50 @@ def test_conv3x3_cout_tiling(rng):
         got = conv3x3_same(x, w, b, block_rows=8, cout_block=8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(_ref(x, w, b)),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_conv3x3_fused_gn_silu_border_exact(rng):
+    """Fused affine+SiLU prologue: conv(silu(x*a+d)) with NONZERO d — the
+    zero-padding border must stay zero through the nonlinearity (a naive
+    in-window affine would turn padding into silu(d))."""
+    import jax
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 8)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    a = jnp.asarray(rng.uniform(0.5, 2.0, (2, 8)), jnp.float32)
+    d = jnp.asarray(rng.uniform(0.5, 1.5, (2, 8)), jnp.float32)  # d != 0!
+    y = x * a[:, None, None] + d[:, None, None]
+    ref = _ref(jnp.asarray(y * jax.nn.sigmoid(y)), w, bias)
+    with pltpu.force_tpu_interpret_mode():
+        got = conv3x3_same(x, w, bias, affine=(a, d), block_rows=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_conv3x3_fused_residual(rng):
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 8)) * 0.1, jnp.float32)
+    res = jnp.asarray(rng.standard_normal((1, 16, 16, 8)), jnp.float32)
+    ref = _ref(x, w) + res
+    with pltpu.force_tpu_interpret_mode():
+        got = conv3x3_same(x, w, residual=res, block_rows=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_gn_silu_conv2d_fallback_matches_composition(rng):
+    """The fused helper's unfused fallback path == manual composition."""
+    from sdmatte_tpu.core import nn as F
+    from sdmatte_tpu.core.dtypes import FP32
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)), jnp.float32)
+    pn = {"scale": jnp.asarray(rng.uniform(0.5, 2, 8), jnp.float32),
+          "bias": jnp.asarray(rng.standard_normal(8), jnp.float32)}
+    pc = {"kernel": jnp.asarray(rng.standard_normal((3, 3, 8, 8)) * 0.1,
+                                jnp.float32),
+          "bias": jnp.zeros((8,), jnp.float32)}
+    res = jnp.asarray(rng.standard_normal((1, 8, 8, 8)), jnp.float32)
+    manual = F.conv2d(pc, F.silu(F.group_norm(pn, x, groups=4)),
+                      policy=FP32) + res
+    got = F.gn_silu_conv2d(pn, pc, x, groups=4, policy=FP32, residual=res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(manual),
+                               atol=1e-6, rtol=1e-6)
