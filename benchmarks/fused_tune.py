@@ -33,13 +33,16 @@ from jax import lax  # noqa: E402
 
 from sdmatte_tpu.ops.conv3x3 import conv3x3_same  # noqa: E402
 
-# encoder-dispatched equal-channel shapes (batch, spatial, ch)
+# encoder-dispatched equal-channel shapes (batch, spatial, ch);
+# override via argv: fused_tune.py b,s,c [b,s,c ...]
 SHAPES = [
     (2, 1024, 128),
     (2, 512, 256),
     (2, 256, 512),
     (2, 128, 512),
 ]
+if len(sys.argv) > 1:
+    SHAPES = [tuple(int(v) for v in arg.split(",")) for arg in sys.argv[1:]]
 REPS = 24
 
 

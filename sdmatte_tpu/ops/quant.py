@@ -18,6 +18,15 @@ Quality control: eval/quality.py compares the int8 pipeline against bf16 on
 the synthetic-composite set; the bf16 end-to-end budget is MAE <= 1e-2 vs
 fp32 (docs/ROADMAP.md precision audit), and int8 must stay inside the same
 envelope to ship as a default; otherwise it stays an opt-in speed mode.
+
+MEASURED (v5e, benchmarks/ab_int8.py, 2026-08-17): this XLA toolchain does
+NOT deliver the int8 MAC-rate win on these conv shapes — encode(b2@1024)
+428 ms int8 vs 147 ms bf16 (0.34x, XLA inserts layout/convert passes around
+the int8 convs), decode 1.04x (a wash).  The mode therefore stays opt-in
+and OFF; quality passed its gate (alpha MAE 0.0057 <= 0.01 vs bf16), so the
+blocker is purely the XLA int8 conv lowering.  Revisit if the toolchain
+gains a native int8 conv path, or route int8 through the Pallas im2col
+kernel (ops/conv3x3.py) with int8 dots instead.
 """
 
 from __future__ import annotations
