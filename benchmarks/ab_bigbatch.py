@@ -57,7 +57,7 @@ def main():
     cases = [
         (8, None),     # baseline (current best_batch)
         (12, 4),
-        (16, 8),
+        (12, 6),
         (16, 4),
         (8, None),     # re-measure baseline to bracket drift
     ]

@@ -30,16 +30,17 @@ from sdmatte_tpu.ops import dispatch  # noqa: E402
 
 # every 3x3 conv shape in the 1024px b=1 decode graph
 # (mid 128^2x512; up0 128^2x512; up1 256^2x512; up2 512^2 512->256;
-#  up3 1024^2 256->128; conv_out handled by XLA - 128->3 is tiny)
-DEC_SHAPES = [
-    (1, 128, 512, 512),
-    (1, 256, 512, 512),
-    (1, 512, 512, 256),
-    (1, 512, 256, 256),
-    (1, 1024, 256, 256),
-    (1, 1024, 256, 128),
-    (1, 1024, 128, 128),
-]
+#  up3 1024^2 256->128; conv_out handled by XLA - 128->3 is tiny).
+# shape -> csplit mode (1 where the full-C halo window exceeds scoped VMEM)
+DEC_SHAPES = {
+    (1, 128, 512, 512): 0,
+    (1, 256, 512, 512): 0,
+    (1, 512, 512, 256): 1,
+    (1, 512, 256, 256): 0,
+    (1, 1024, 256, 256): 1,
+    (1, 1024, 256, 128): 1,
+    (1, 1024, 128, 128): 0,
+}
 
 
 def timeit(fn, *args, iters=10, warmup=2):
@@ -73,8 +74,12 @@ def main():
         dispatch.PALLAS_CONV_WINS.update(saved)
         if tag.startswith("pallas"):
             fuse = tag.startswith("pallas_gn")
-            for shp in DEC_SHAPES:
-                dispatch.PALLAS_CONV_WINS[shp] = (9.9, 8, 128, fuse, False)
+            for shp, csplit in DEC_SHAPES.items():
+                # fgn only where the fp32 window temp fits (128ch @1024 and
+                # csplit halves; fused_tune showed C>=256 direct OOMs)
+                f = fuse and (shp[2] <= 128 or csplit)
+                dispatch.PALLAS_CONV_WINS[shp] = (9.9, 8, 128, f, False,
+                                                  csplit)
         try:
             t = timeit(dec_fn(), params, lat)
         except Exception as e:      # fgn can OOM scoped VMEM on 512ch

@@ -63,9 +63,13 @@ def conv2d(p, x, *, stride: int = 1, padding=1, policy: Policy = FP32):
             b, h, w, k.shape[2], k.shape[3],
             dtype_ok=policy.compute_dtype == jnp.bfloat16)
         if cfg is not None:
-            from ..ops.conv3x3 import conv3x3_same
+            from ..ops.conv3x3 import conv3x3_same, conv3x3_same_csplit
             xb = policy.cast_compute(x)
             bias = p["bias"] if "bias" in p else None
+            if cfg[4]:
+                return conv3x3_same_csplit(xb, k, bias, block_rows=cfg[0],
+                                           cout_block=cfg[1],
+                                           fuse_sum=cfg[4] == 2)
             return conv3x3_same(xb, k, bias, block_rows=cfg[0],
                                 cout_block=cfg[1])
 
@@ -139,17 +143,24 @@ def gn_silu_conv2d(p_norm, p_conv, x, *, groups: int = 32, eps: float = 1e-5,
         if cfg is not None and cfg[2]:
             # gn fusion only where the measured table says it wins AND the
             # fp32 affine window temp fits scoped VMEM (dispatch.py);
-            # likewise the residual epilogue
-            from ..ops.conv3x3 import conv3x3_same
+            # likewise the residual epilogue / channel-split mode
+            from ..ops.conv3x3 import conv3x3_same, conv3x3_same_csplit
             a, dshift = group_norm_stats(p_norm, x, groups=groups, eps=eps)
             bias = p_conv["bias"] if "bias" in p_conv else None
             res = None
             if residual is not None and cfg[3]:
                 res = policy.cast_compute(residual)
-            y = conv3x3_same(
-                policy.cast_compute(x), k.astype(policy.compute_dtype),
-                bias, affine=(a, dshift), residual=res,
-                block_rows=cfg[0], cout_block=cfg[1])
+            if cfg[4]:
+                y = conv3x3_same_csplit(
+                    policy.cast_compute(x), k.astype(policy.compute_dtype),
+                    bias, affine=(a, dshift), residual=res,
+                    block_rows=cfg[0], cout_block=cfg[1],
+                    fuse_sum=cfg[4] == 2)
+            else:
+                y = conv3x3_same(
+                    policy.cast_compute(x), k.astype(policy.compute_dtype),
+                    bias, affine=(a, dshift), residual=res,
+                    block_rows=cfg[0], cout_block=cfg[1])
             if residual is not None and res is None:
                 y = y + residual.astype(y.dtype)
             return y

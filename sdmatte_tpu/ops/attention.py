@@ -49,7 +49,18 @@ def attention(q, k, v, *, scale: float, bias=None, policy: Policy = FP32,
         impl = "flash" if (on_tpu and long_seq) else "xla"
     if impl == "flash":
         from .flash_attention import flash_attention
+        # the d<128 fused-denominator variant pads V to 128 lanes in HBM —
+        # a (B,H,Lk,128) temp that is irrelevant at b=1 (~20 MB) but OOMs
+        # 16 GB HBM at batch>=12 @1024px (measured via compile-only
+        # memory_analysis, benchmarks/mem_analysis.py).  Large operands
+        # take the classic kernel (identical math, VPU row-sum l).
+        b, h, _, d = q.shape
+        lk = k.shape[2]
+        variant = "auto"
+        if d < 128 and b * h * lk * 256 > 256 * 1024 * 1024:
+            variant = "classic"
         return flash_attention(q, k, v, scale=scale, bias=bias,
-                               accum_dtype=policy.accum_dtype)
+                               accum_dtype=policy.accum_dtype,
+                               variant=variant)
     return attention_xla(q, k, v, scale=scale, bias=bias,
                          accum_dtype=policy.accum_dtype)

@@ -166,6 +166,43 @@ def _pick_blocks(W: int, C: int, Cout: int, itemsize: int = 2,
     return best or (8, 128)
 
 
+def conv3x3_same_csplit(x, w, b=None, *, affine=None, residual=None,
+                        block_rows: int = 0, cout_block: int = 0,
+                        fuse_sum: bool = False):
+    """conv3x3_same computed as two half-input-channel passes.
+
+    For shapes whose halo window (2, bh+2, Wp, C) exceeds scoped VMEM
+    (1024-wide rows at C>=256 — the decoder's upsampled stages), splitting
+    the CONTRACTION (input channels) halves the window with no halo
+    bookkeeping: conv(x, w) = conv(x_lo, w_lo) + conv(x_hi, w_hi).
+    GroupNorm fusion stays exact: (a, d) are per-channel, so each half
+    applies its slice.
+
+    fuse_sum: ride the cross-pass add (and the caller's residual) on the
+    kernel's residual epilogue — only where the extra VMEM blocks fit
+    (measured per shape, ops/dispatch.py); otherwise the adds run as one
+    XLA elementwise pass outside."""
+    C = x.shape[-1]
+    ch = C // 2
+    a_lo = a_hi = None
+    if affine is not None:
+        a, d = affine
+        a_lo, a_hi = (a[:, :ch], d[:, :ch]), (a[:, ch:], d[:, ch:])
+    if fuse_sum:
+        half1 = conv3x3_same(x[..., :ch], w[:, :, :ch], None, affine=a_lo,
+                             residual=residual, block_rows=block_rows,
+                             cout_block=cout_block)
+        return conv3x3_same(x[..., ch:], w[:, :, ch:], b, affine=a_hi,
+                            residual=half1, block_rows=block_rows,
+                            cout_block=cout_block)
+    half1 = conv3x3_same(x[..., :ch], w[:, :, :ch], None, affine=a_lo,
+                         block_rows=block_rows, cout_block=cout_block)
+    half2 = conv3x3_same(x[..., ch:], w[:, :, ch:], b, affine=a_hi,
+                         block_rows=block_rows, cout_block=cout_block)
+    out = half1 + half2
+    return out if residual is None else out + residual.astype(out.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows", "cout_block"))
 def conv3x3_same(x, w, b=None, *, affine=None, residual=None,
                  block_rows: int = 0, cout_block: int = 0):

@@ -53,14 +53,18 @@ import jax
 #     1024²x128 xla 12.71 / conv 8.84 / fused-gn 8.26 ms -> fgn dispatched;
 #     512²x256 conv wins 1.35x, 256²x512 conv wins 1.24x (fgn OOMs both);
 #     128²x512 is a wash in-context (0.87 vs 0.87 ms) -> entry dropped.
+# Entry value: (speedup, block_rows, cout_block, fuse_gn, fuse_residual,
+#               csplit) where csplit 0 = direct kernel, 1 = input-channel
+# split (halo window halved for shapes whose window exceeds scoped VMEM),
+# 2 = split with the cross-pass sum fused into the residual epilogue.
 PALLAS_CONV_WINS: dict[tuple[int, int, int, int],
-                       tuple[float, int, int, bool, bool]] = {
-    (2, 1024, 128, 128): (1.54, 8, 128, True, False),
-    (2, 512, 256, 256): (1.35, 8, 128, False, False),
-    (2, 256, 512, 512): (1.24, 8, 128, False, False),
+                       tuple[float, int, int, bool, bool, int]] = {
+    (2, 1024, 128, 128): (1.54, 8, 128, True, False, 0),
+    (2, 512, 256, 256): (1.35, 8, 128, False, False, 0),
+    (2, 256, 512, 512): (1.24, 8, 128, False, False, 0),
     # mixed-channel pairs (measured as ci->co->ci chains)
-    (2, 512, 128, 256): (1.13, 8, 128, False, False),
-    (2, 512, 256, 128): (1.13, 8, 128, False, False),
+    (2, 512, 128, 256): (1.13, 8, 128, False, False, 0),
+    (2, 512, 256, 128): (1.13, 8, 128, False, False, 0),
 }
 
 _MIN_SPEEDUP = 1.05  # dispatch only on a clear win
@@ -68,8 +72,8 @@ _MIN_SPEEDUP = 1.05  # dispatch only on a clear win
 
 def pallas_conv3x3_config(b: int, h: int, w: int, cin: int, cout: int,
                           *, stride: int = 1, dtype_ok: bool = True):
-    """(block_rows, cout_block, fuse_gn, fuse_residual) when the Pallas
-    kernel should take this shape, else None."""
+    """(block_rows, cout_block, fuse_gn, fuse_residual, csplit) when the
+    Pallas kernel should take this shape, else None."""
     if os.environ.get("SDMATTE_NO_PALLAS_CONV"):   # A/B + escape hatch
         return None
     if stride != 1 or not dtype_ok or h != w:
@@ -85,4 +89,4 @@ def pallas_conv3x3_config(b: int, h: int, w: int, cin: int, cout: int,
                    for item in only.split(";") if item}
         if (b, h, cin, cout) not in allowed:
             return None
-    return entry[1], entry[2], entry[3], entry[4]
+    return entry[1:]

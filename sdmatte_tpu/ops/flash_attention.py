@@ -116,6 +116,66 @@ def _kernel_fused_l(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, acc_ref, *,
         o_ref[0] = (acc_ref[:, :d] * l_inv).astype(o_ref.dtype)
 
 
+def _kernel_d64_v2(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
+                   nk: int, d: int, halves: int):
+    """Narrow-head v2 — MXU-rides-everything + split softmax chains.
+
+    MEASURED (v5e, benchmarks/flash_tune.py 2026-08-17): v1 (fused
+    denominator) already sustains 77.8 TF/s on the (1,5,16384,16384,64)
+    self-attention shape — ~2x the round-1 number and past the 70 TF/s
+    round-2 target; Mosaic's scheduler evidently already overlaps the
+    VPU softmax with MXU work.  v2 wins only +4% there with halves=1
+    (bias-in-dot alone), loses on the cross shape, and splitting chains
+    (halves>1) always loses — so "auto" keeps v1 and this kernel stays a
+    documented, tested negative result for future toolchains.
+
+    Two tricks on top of the fused-denominator variant:
+      * bias-in-dot: the K=64 contraction wastes half the MXU's 128-lane
+        depth anyway, so lane ``d`` carries the per-key bias in K' and a
+        ones column in Q' — s = scale*q.k + bias comes out of the ONE dot
+        with no VPU bias pass (and no separate bias operand/DMA).
+      * ``halves`` independent softmax chains per program: the q tile is
+        split row-wise; each half runs its own s -> max -> exp -> PV
+        chain with no cross-half dependence, so Mosaic's VLIW scheduler
+        overlaps half A's VPU softmax with half B's MXU dots.  A single
+        monolithic chain leaves the MXU idle during every exp.
+
+    q_ref (1, bq, 128): [q*scale | 1 | 0...]; k_ref (1, bk, 128):
+    [k | bias | 0...]; v_ref (1, bk, 128): [v | 1 | 0...] (denominator in
+    acc column d, as in _kernel_fused_l).  Padded keys carry MASK_VALUE in
+    the bias lane, so they die in the softmax like any masked key."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    k = k_ref[0]                                   # (bk, 128)
+    v = v_ref[0]                                   # (bk, 128)
+    bq = q_ref.shape[1]
+    h = bq // halves
+    for i in range(halves):
+        q = q_ref[0, i * h:(i + 1) * h]            # (h, 128)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m_prev = m_ref[i * h:(i + 1) * h, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next).astype(v.dtype)
+        m_ref[i * h:(i + 1) * h] = jnp.broadcast_to(
+            m_next, (h, m_ref.shape[1]))
+        acc_ref[i * h:(i + 1) * h] = acc_ref[i * h:(i + 1) * h] * alpha + \
+            jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = acc_ref[:, d:d + 1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_ref[:, :d] * l_inv).astype(o_ref.dtype)
+
+
 def _auto_blocks(lq: int, lk: int, d: int):
     """Measured on v5e (benchmarks/flash_check.py sweeps): throughput rises
     with KV-tile size until VMEM pressure.  Narrow heads (d<=128, the U-Net)
@@ -129,12 +189,17 @@ def _auto_blocks(lq: int, lk: int, d: int):
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
-                                             "accum_dtype"))
+                                             "accum_dtype", "variant",
+                                             "halves"))
 def flash_attention(q, k, v, *, scale: float, bias=None, block_q: int = 0,
-                    block_k: int = 0, accum_dtype=jnp.float32):
+                    block_k: int = 0, accum_dtype=jnp.float32,
+                    variant: str = "auto", halves: int = 2):
     """q (B,H,Lq,D), k/v (B,H,Lk,D), bias (B,Lk) additive or None -> (B,H,Lq,D).
 
-    block_q/block_k of 0 mean "auto" (v5e-tuned heuristics)."""
+    block_q/block_k of 0 mean "auto" (v5e-tuned heuristics).
+    variant: "auto" picks the measured-best kernel per shape; "v1" forces
+    the fused-denominator kernel, "v2" the bias-in-dot split-chain kernel
+    (d<128 only; ``halves`` = independent softmax chains per program)."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
     abq, abk = _auto_blocks(lq, lk, d)
@@ -157,8 +222,65 @@ def flash_attention(q, k, v, *, scale: float, bias=None, block_q: int = 0,
                            constant_values=MASK_VALUE)
 
     # narrow heads (the U-Net's d=64): fused-denominator variant — V padded
-    # to the 128-lane tile with a ones column at index d (free MXU width)
-    fused_l = d < _LANES
+    # to the 128-lane tile with a ones column at index d (free MXU width).
+    # variant="classic" skips that padding: the ones-concat materializes a
+    # (B,H,Lk,128) HBM temp (2x V), which is what OOMs batch>=12 @1024px —
+    # large-batch callers trade a little VPU (explicit row-sum l) for it.
+    fused_l = d < _LANES and variant != "classic"
+    # "auto" stays on v1 until flash_check.py shows v2 winning on the
+    # production shapes (measured dispatch, same policy as ops/dispatch.py)
+    use_v2 = fused_l and variant == "v2"
+
+    if use_v2:
+        if bq % halves:
+            raise ValueError(f"halves={halves} must divide block_q={bq}")
+        # q' = [q*scale | 1 | 0], k' = [k | bias | 0], v' = [v | 1 | 0]:
+        # the dot emits scale*qk + bias directly (lane d of the otherwise
+        # idle 64..127 contraction range), V's ones column carries the
+        # softmax denominator into acc column d
+        ones_q = jnp.ones((b, h, lq_p, 1), q.dtype)
+        qf = jnp.concatenate(
+            [(q.astype(jnp.float32) * scale).astype(q.dtype), ones_q,
+             jnp.zeros((b, h, lq_p, _LANES - d - 1), q.dtype)], axis=-1)
+        if bias is None:
+            bcol = jnp.zeros((b, 1, lk_p, 1), k.dtype)
+        else:
+            bcol = bias.astype(jnp.float32).reshape(b, 1, lk_p, 1) \
+                .astype(k.dtype)
+        kf = jnp.concatenate(
+            [k, jnp.broadcast_to(bcol, (b, h, lk_p, 1)),
+             jnp.zeros((b, h, lk_p, _LANES - d - 1), k.dtype)], axis=-1)
+        ones_v = jnp.ones((b, h, lk_p, 1), v.dtype)
+        vf = jnp.concatenate(
+            [v, ones_v, jnp.zeros((b, h, lk_p, _LANES - d - 1), v.dtype)],
+            axis=-1)
+        qf = qf.reshape(b * h, lq_p, _LANES)
+        kf = kf.reshape(b * h, lk_p, _LANES)
+        vf = vf.reshape(b * h, lk_p, _LANES)
+        nq = lq_p // bq
+        nk = lk_p // bk
+        out = pl.pallas_call(
+            functools.partial(_kernel_d64_v2, nk=nk, d=d, halves=halves),
+            grid=(b * h, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, bq, _LANES), lambda bh, qi, ki: (bh, qi, 0)),
+                pl.BlockSpec((1, bk, _LANES), lambda bh, qi, ki: (bh, ki, 0)),
+                pl.BlockSpec((1, bk, _LANES), lambda bh, qi, ki: (bh, ki, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, lq_p, d), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bq, _LANES), jnp.float32),   # running max
+                pltpu.VMEM((bq, _LANES), jnp.float32),   # acc (l in col d)
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+        )(qf, kf, vf)
+        out = out.reshape(b, h, lq_p, d)
+        if lq_p != lq:
+            out = out[:, :, :lq]
+        return out
 
     qf = q.reshape(b * h, lq_p, d)
     kf = k.reshape(b * h, lk_p, d)

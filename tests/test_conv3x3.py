@@ -91,3 +91,27 @@ def test_gn_silu_conv2d_fallback_matches_composition(rng):
     got = F.gn_silu_conv2d(pn, pc, x, groups=4, policy=FP32, residual=res)
     np.testing.assert_allclose(np.asarray(got), np.asarray(manual),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_conv3x3_csplit_matches_direct(rng):
+    """Channel-split composition (both fuse_sum modes) == direct conv, with
+    gn-affine and residual in play."""
+    import jax
+    from sdmatte_tpu.ops.conv3x3 import conv3x3_same_csplit
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    a = jnp.asarray(rng.uniform(0.5, 2.0, (1, 16)), jnp.float32)
+    d = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 16)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((1, 16, 16, 8)), jnp.float32)
+    y = x * a[:, None, None] + d[:, None, None]
+    ref = _ref(jnp.asarray(y * jax.nn.sigmoid(y)), w, b) + res
+    with pltpu.force_tpu_interpret_mode():
+        got1 = conv3x3_same_csplit(x, w, b, affine=(a, d), residual=res,
+                                   block_rows=8, fuse_sum=True)
+        got2 = conv3x3_same_csplit(x, w, b, affine=(a, d), residual=res,
+                                   block_rows=8, fuse_sum=False)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)

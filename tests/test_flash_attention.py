@@ -95,3 +95,52 @@ def test_flash_matches_xla_bf16_bias(rng):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_flash_v2_matches_xla_bias_and_ragged(rng):
+    """v2 kernel (bias-in-dot + split softmax chains): parity incl. ragged
+    Lk (pad keys must die via the MASK_VALUE bias lane) and halves=2."""
+    b, h, lq, lk, d = 1, 2, 256, 200, 64   # lk=200 -> padded to 256
+    q, k, v = _make(rng, b, h, lq, lk, d)
+    bias = (rng.uniform(0, 1, (b, lk)) < 0.5).astype(np.float32) * -10000.0
+    scale = 1.0 / np.sqrt(d)
+    ref = attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        scale=scale, bias=jnp.asarray(bias))
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              scale=scale, bias=jnp.asarray(bias),
+                              block_q=128, block_k=128,
+                              variant="v2", halves=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_flash_v2_no_bias(rng):
+    b, h, lq, lk, d = 1, 1, 128, 128, 32
+    q, k, v = _make(rng, b, h, lq, lk, d)
+    scale = 0.2
+    ref = attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        scale=scale)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              scale=scale, block_q=128, block_k=128,
+                              variant="v2", halves=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_flash_classic_variant_d64(rng):
+    """variant='classic' (no V ones-padding; big-batch memory path) must
+    match the fused-denominator default bit-for-bit-ish."""
+    b, h, lq, lk, d = 1, 2, 256, 256, 64
+    q, k, v = _make(rng, b, h, lq, lk, d)
+    bias = (rng.uniform(0, 1, (b, lk)) < 0.5).astype(np.float32) * -10000.0
+    scale = 1.0 / np.sqrt(d)
+    ref = attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        scale=scale, bias=jnp.asarray(bias))
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              scale=scale, bias=jnp.asarray(bias),
+                              block_q=128, block_k=128, variant="classic")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
