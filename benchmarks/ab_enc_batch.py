@@ -53,11 +53,11 @@ def main():
     # mirror the measured b=2 winners onto this batch (same per-row-block
     # work; batch only multiplies the grid's outer dim)
     inject = {
-        (BATCH, 1024, 128, 128): (9.9, 8, 128, True, False),
-        (BATCH, 512, 256, 256): (9.9, 8, 128, False, False),
-        (BATCH, 256, 512, 512): (9.9, 8, 128, False, False),
-        (BATCH, 512, 128, 256): (9.9, 8, 128, False, False),
-        (BATCH, 512, 256, 128): (9.9, 8, 128, False, False),
+        (BATCH, 1024, 128, 128): (9.9, 8, 128, True, False, 0),
+        (BATCH, 512, 256, 256): (9.9, 8, 128, False, False, 0),
+        (BATCH, 256, 512, 512): (9.9, 8, 128, False, False, 0),
+        (BATCH, 512, 128, 256): (9.9, 8, 128, False, False, 0),
+        (BATCH, 512, 256, 128): (9.9, 8, 128, False, False, 0),
     }
     saved = dict(dispatch.PALLAS_CONV_WINS)
     results = {}

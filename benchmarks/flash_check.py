@@ -37,9 +37,22 @@ CASES = [
 ]
 
 
+def measure_overhead():
+    x = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda x: x * 2.0)
+    o = f(x); float(jnp.sum(o))
+    ts = []
+    for _ in range(5):
+        t0 = time.time(); o = f(x); float(jnp.sum(o))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
 def main():
     rng = np.random.default_rng(0)
     print("backend:", jax.default_backend())
+    oh = measure_overhead()
+    print(f"per-call overhead: {oh*1e3:.1f} ms")
     fails = 0
     for b, h, lq, lk, d, use_bias in CASES:
         q = jnp.asarray(rng.standard_normal((b, h, lq, d)), jnp.bfloat16)
@@ -75,7 +88,7 @@ def main():
             t0 = time.time()
             o = fj(q, k, v); float(jnp.sum(o[..., :1, :1]))
             ts.append(time.time() - t0)
-        t_run = (float(np.median(ts)) - 0.032) / REPS
+        t_run = (float(np.median(ts)) - oh) / REPS
         # parity on a query slice (full XLA ref would OOM at 16k x 16k x heads)
         ref = attention_xla(q[:, :, :256], k, v, scale=scale, bias=bias)
         err = float(jnp.abs(out[:, :, :256].astype(jnp.float32)

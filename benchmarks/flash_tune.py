@@ -42,9 +42,22 @@ CONFIGS = [
 REPS = 8
 
 
+def measure_overhead():
+    x = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda x: x * 2.0)
+    o = f(x); float(jnp.sum(o))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter(); o = f(x); float(jnp.sum(o))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
 def main():
     rng = np.random.default_rng(0)
     print("backend:", jax.default_backend(), flush=True)
+    oh = measure_overhead()
+    print(f"per-call overhead: {oh*1e3:.1f} ms", flush=True)
     for b, h, lq, lk, d, use_bias in CASES:
         q = jnp.asarray(rng.standard_normal((b, h, lq, d)), jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((b, h, lk, d)), jnp.bfloat16)
@@ -76,7 +89,7 @@ def main():
                     t0 = time.perf_counter()
                     o = fj(q, k, v); float(jnp.sum(o[..., :1, :1]))
                     ts.append(time.perf_counter() - t0)
-                t = (float(np.median(ts)) - 0.032) / REPS
+                t = (float(np.median(ts)) - oh) / REPS
             except Exception as e:
                 print(f"  {variant} bq={bq} bk={bk} hv={halves}: FAIL "
                       f"{str(e)[-90:]}", flush=True)

@@ -157,6 +157,20 @@ class MicroBatcher:
             try:
                 imgs = np.stack([x.img for x in batch])
                 tris = np.stack([x.tri for x in batch])
+                # pad the batch up to a power-of-two bucket: XLA compiles one
+                # heavy graph per batch SIZE, and traffic-dependent sizes
+                # (3, 5, 7...) would each pay a full model recompile at
+                # request time; buckets bound that to log2(max_batch) graphs
+                n = len(batch)
+                bucket = 1
+                while bucket < n:
+                    bucket *= 2
+                if bucket != n:
+                    reps = bucket - n
+                    imgs = np.concatenate(
+                        [imgs, np.repeat(imgs[-1:], reps, axis=0)])
+                    tris = np.concatenate(
+                        [tris, np.repeat(tris[-1:], reps, axis=0)])
                 alpha, matted = self.pipeline(imgs, tris,
                                               options=batch[0].opts)
                 alpha = np.asarray(alpha)

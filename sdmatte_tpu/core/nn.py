@@ -63,15 +63,8 @@ def conv2d(p, x, *, stride: int = 1, padding=1, policy: Policy = FP32):
             b, h, w, k.shape[2], k.shape[3],
             dtype_ok=policy.compute_dtype == jnp.bfloat16)
         if cfg is not None:
-            from ..ops.conv3x3 import conv3x3_same, conv3x3_same_csplit
-            xb = policy.cast_compute(x)
             bias = p["bias"] if "bias" in p else None
-            if cfg[4]:
-                return conv3x3_same_csplit(xb, k, bias, block_rows=cfg[0],
-                                           cout_block=cfg[1],
-                                           fuse_sum=cfg[4] == 2)
-            return conv3x3_same(xb, k, bias, block_rows=cfg[0],
-                                cout_block=cfg[1])
+            return _dispatched_conv3x3(cfg, x, k, bias, policy=policy)
 
     y = lax.conv_general_dilated(
         policy.cast_compute(x), k,
@@ -83,6 +76,31 @@ def conv2d(p, x, *, stride: int = 1, padding=1, policy: Policy = FP32):
     if "bias" in p:
         y = y + p["bias"].astype(policy.accum_dtype)
     return y.astype(policy.compute_dtype)
+
+
+def _dispatched_conv3x3(cfg, x, k, bias, *, policy: Policy, affine=None,
+                        residual=None):
+    """Shared Pallas-conv dispatch: one place that interprets a
+    PALLAS_CONV_WINS entry (block config, gn/residual fusion flags,
+    channel-split mode) for both conv2d and gn_silu_conv2d.
+
+    The residual rides the kernel epilogue only where the table says its
+    VMEM block fits (cfg[3]); otherwise it is added outside."""
+    from ..ops.conv3x3 import conv3x3_same, conv3x3_same_csplit
+    res = None
+    if residual is not None and cfg[3]:
+        res = policy.cast_compute(residual)
+    xb = policy.cast_compute(x)
+    kb = k.astype(policy.compute_dtype)
+    common = dict(affine=affine, residual=res,
+                  block_rows=cfg[0], cout_block=cfg[1])
+    if cfg[4]:
+        y = conv3x3_same_csplit(xb, kb, bias, fuse_sum=cfg[4] == 2, **common)
+    else:
+        y = conv3x3_same(xb, kb, bias, **common)
+    if residual is not None and res is None:
+        y = y + residual.astype(y.dtype)
+    return y
 
 
 def group_norm_stats(p, x, *, groups: int = 32, eps: float = 1e-5):
@@ -144,26 +162,10 @@ def gn_silu_conv2d(p_norm, p_conv, x, *, groups: int = 32, eps: float = 1e-5,
             # gn fusion only where the measured table says it wins AND the
             # fp32 affine window temp fits scoped VMEM (dispatch.py);
             # likewise the residual epilogue / channel-split mode
-            from ..ops.conv3x3 import conv3x3_same, conv3x3_same_csplit
             a, dshift = group_norm_stats(p_norm, x, groups=groups, eps=eps)
             bias = p_conv["bias"] if "bias" in p_conv else None
-            res = None
-            if residual is not None and cfg[3]:
-                res = policy.cast_compute(residual)
-            if cfg[4]:
-                y = conv3x3_same_csplit(
-                    policy.cast_compute(x), k.astype(policy.compute_dtype),
-                    bias, affine=(a, dshift), residual=res,
-                    block_rows=cfg[0], cout_block=cfg[1],
-                    fuse_sum=cfg[4] == 2)
-            else:
-                y = conv3x3_same(
-                    policy.cast_compute(x), k.astype(policy.compute_dtype),
-                    bias, affine=(a, dshift), residual=res,
-                    block_rows=cfg[0], cout_block=cfg[1])
-            if residual is not None and res is None:
-                y = y + residual.astype(y.dtype)
-            return y
+            return _dispatched_conv3x3(cfg, x, k, bias, policy=policy,
+                                       affine=(a, dshift), residual=residual)
     h = silu(group_norm(p_norm, x, groups=groups, eps=eps))
     y = conv2d(p_conv, h, policy=policy)
     return y if residual is None else y + residual.astype(y.dtype)

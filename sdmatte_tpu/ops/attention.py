@@ -57,7 +57,10 @@ def attention(q, k, v, *, scale: float, bias=None, policy: Policy = FP32,
         b, h, _, d = q.shape
         lk = k.shape[2]
         variant = "auto"
-        if d < 128 and b * h * lk * 256 > 256 * 1024 * 1024:
+        # threshold 128 MiB: the b=12 stage-0 case (b=12, h=5, lk=16384 ->
+        # 240 MiB padded-V) must take the classic path too, not just the
+        # wide-head stages
+        if d < 128 and b * h * lk * 256 > 128 * 1024 * 1024:
             variant = "classic"
         return flash_attention(q, k, v, scale=scale, bias=bias,
                                accum_dtype=policy.accum_dtype,

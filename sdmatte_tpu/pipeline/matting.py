@@ -73,6 +73,9 @@ class MattingPipeline:
             self.params["vae"] = quantize_vae_tree(self.params["vae"])
         # traces per graph kind (observability + the recompile-bound tests)
         self._trace_counts = {"pre": 0, "heavy": 0, "post": 0}
+        self._pre_cache: dict = {}
+        self._heavy_cache: dict = {}
+        self._post_cache: dict = {}
 
     # -- traced bodies ------------------------------------------------------
     #
@@ -114,6 +117,11 @@ class MattingPipeline:
                                 aux_input_type=aux_type, policy=self.policy,
                                 attn_impl=self.attn_impl,
                                 vae_chunk=self.vae_chunk)
+        if isinstance(alpha, tuple):
+            # cfg.use_dis_loss=True makes forward() return
+            # (alpha, feature_maps) — a training-era hook (reference
+            # meta_arch.py:39); inference keeps only the alpha
+            alpha = alpha[0]
         return alpha.astype(jnp.float32)[..., 0]
 
     def _post(self, alpha_s, image, prompt_mask, *, orig_hw, output_mode: str,
@@ -133,23 +141,40 @@ class MattingPipeline:
         matted = postprocess.composite(image, alpha, prompt_mask, output_mode)
         return alpha, matted
 
-    @functools.lru_cache(maxsize=16)
+    # Per-INSTANCE compiled-fn caches (dicts created in __init__, FIFO-capped).
+    # NOT functools.lru_cache on the methods: a class-level lru_cache keys on
+    # `self` and holds a strong reference forever, pinning every pipeline —
+    # and its on-device param tree — for the life of the process (a real HBM
+    # leak for anything that constructs pipelines repeatedly).
+
+    def _memo(self, store: dict, key, build, cap: int):
+        if key not in store:
+            if len(store) >= cap:
+                store.pop(next(iter(store)))
+            store[key] = build()
+        return store[key]
+
     def _compiled_pre(self, size: int):
-        return jax.jit(functools.partial(self._pre, size=size))
+        return self._memo(self._pre_cache, size,
+                          lambda: jax.jit(functools.partial(self._pre,
+                                                            size=size)), 16)
 
-    @functools.lru_cache(maxsize=16)
     def _compiled_heavy(self, aux_type: str, has_text: bool):
-        fn = functools.partial(self._heavy, aux_type=aux_type)
-        if not has_text:
-            return jax.jit(lambda p, i, m, c, t: fn(p, i, m, c, t, None))
-        return jax.jit(fn)
+        def build():
+            fn = functools.partial(self._heavy, aux_type=aux_type)
+            if not has_text:
+                return jax.jit(lambda p, i, m, c, t: fn(p, i, m, c, t, None))
+            return jax.jit(fn)
+        return self._memo(self._heavy_cache, (aux_type, has_text), build, 16)
 
-    @functools.lru_cache(maxsize=64)
     def _compiled_post(self, orig_hw, output_mode: str, refine: bool,
                        trimap_constraint: float):
-        return jax.jit(functools.partial(
-            self._post, orig_hw=orig_hw, output_mode=output_mode,
-            refine=refine, trimap_constraint=trimap_constraint))
+        key = (orig_hw, output_mode, refine, trimap_constraint)
+        return self._memo(
+            self._post_cache, key,
+            lambda: jax.jit(functools.partial(
+                self._post, orig_hw=orig_hw, output_mode=output_mode,
+                refine=refine, trimap_constraint=trimap_constraint)), 64)
 
     # -- public entry -----------------------------------------------------
 

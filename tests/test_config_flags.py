@@ -101,3 +101,16 @@ def test_use_encoder_attention_mask_effect(rng):
     # tiny-init attention outputs are minuscule, so the effect is small in
     # absolute terms — assert strict non-equality, not allclose
     assert float(jnp.abs(a0 - a1).max()) > 0.0
+
+
+def test_pipeline_runs_with_use_dis_loss(rng):
+    """The inference pipeline must not crash when the training-era
+    use_dis_loss flag is on (forward returns (alpha, features) then)."""
+    from sdmatte_tpu.pipeline import MattingPipeline, PipelineOptions
+    cfg = dataclasses.replace(SDMatteConfig.tiny(), use_dis_loss=True)
+    params = sdmatte.init(cfg, seed=0)
+    pipe = MattingPipeline(params, cfg)
+    img = rng.uniform(0, 1, (1, 48, 40, 3)).astype("float32")
+    tri = rng.uniform(0, 1, (1, 48, 40)).astype("float32")
+    alpha, _ = pipe(img, tri, options=PipelineOptions(inference_size=64))
+    assert alpha.shape == (1, 48, 40)

@@ -170,3 +170,42 @@ def test_microbatch_mixed_keys_fifo():
     assert len(outs) == 4
     # 3 distinct keys -> at least 3 pipeline calls; the two (32, o1) may stack
     assert 3 <= stub.calls <= 4
+
+
+def test_microbatch_pads_to_power_of_two_buckets():
+    """A 3-request burst runs as one PADDED batch (bucket 4): traffic-sized
+    batches would each compile a fresh heavy graph; buckets bound that to
+    log2(max_batch) graphs.  Results must come from the unpadded rows."""
+    from sdmatte_tpu.api.serve import MicroBatcher
+    from sdmatte_tpu.pipeline import PipelineOptions
+
+    class _Marking(_StubPipeline):
+        def __call__(self, imgs, tris, *, options):
+            out = super().__call__(imgs, tris, options=options)
+            # mark each row with its index so slicing is observable
+            alpha = out[0] + np.arange(imgs.shape[0],
+                                       dtype=np.float32)[:, None, None]
+            return alpha, out[1]
+
+    stub = _Marking(per_call_s=0.01)
+    mb = MicroBatcher(stub, window_ms=40.0, max_batch=8)
+    opts = PipelineOptions(inference_size=64)
+    img = np.zeros((16, 16, 3), np.float32)
+    tri = np.zeros((16, 16), np.float32)
+
+    results = [None] * 3
+
+    def worker(i):
+        results[i] = mb.submit(img, tri, opts)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.shutdown()
+
+    assert stub.batch_sizes and all(
+        b & (b - 1) == 0 for b in stub.batch_sizes), stub.batch_sizes
+    got = sorted(float(r[0][0, 0]) for r in results)
+    assert got == [0.0, 1.0, 2.0]   # each caller got a distinct real row
