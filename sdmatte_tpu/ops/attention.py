@@ -57,10 +57,11 @@ def attention(q, k, v, *, scale: float, bias=None, policy: Policy = FP32,
         b, h, _, d = q.shape
         lk = k.shape[2]
         variant = "auto"
-        # threshold 128 MiB: the b=12 stage-0 case (b=12, h=5, lk=16384 ->
-        # 240 MiB padded-V) must take the classic path too, not just the
-        # wide-head stages
-        if d < 128 and b * h * lk * 256 > 128 * 1024 * 1024:
+        # threshold 192 MiB: the b=12 stage-0 case (b=12, h=5, lk=16384 ->
+        # 240 MiB padded-V) takes the classic path (HBM fit), while the
+        # throughput-optimal b=8 case (168 MiB) keeps the slightly faster
+        # fused-denominator kernel
+        if d < 128 and b * h * lk * 256 > 192 * 1024 * 1024:
             variant = "classic"
         return flash_attention(q, k, v, scale=scale, bias=bias,
                                accum_dtype=policy.accum_dtype,
