@@ -13,6 +13,11 @@ The torch-side dump is a ~30-line script against the reference plugin's
 meta-arch (documented below) — it cannot run in this image (no diffusers),
 so goldens are produced externally and checked in / mounted.
 
+Key-manifest verification on a weights-capable host is a separate,
+self-contained script: tools/verify_manifest_external.py (checkpoint-header
+mode needs only the .safetensors file and the frozen manifest JSON — no
+torch, no diffusers; see its docstring for the diffusers/reference modes).
+
 Usage:
   python benchmarks/golden.py dump  --ckpt SDMatte.safetensors \
       --image img.png --trimap tri.png --size 512 --out ours.npz

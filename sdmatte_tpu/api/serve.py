@@ -69,6 +69,14 @@ def _array_to_png_b64(arr: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+class ServiceOverloaded(RuntimeError):
+    """Queue is full — the caller should back off (HTTP 429)."""
+
+
+class RequestTimeout(RuntimeError):
+    """The request did not complete within the deadline (HTTP 504)."""
+
+
 class _Pending:
     """One queued request: inputs + a completion event the worker signals."""
 
@@ -85,17 +93,26 @@ class MicroBatcher:
 
     A single worker thread owns the device.  Arriving requests append to a
     queue; the worker takes the oldest request, waits up to ``window_ms`` for
-    more requests with the SAME batch key — (H, W, PipelineOptions), the
-    stacking precondition — stacks them, runs ONE pipeline call, and
-    distributes the per-image results.  Non-matching requests stay queued for
-    the next cycle, so mixed traffic degrades to FIFO, never starves.
+    more requests with the SAME batch key — (img H, img W, trimap shape,
+    PipelineOptions), the stacking precondition — stacks them, runs ONE
+    pipeline call, and distributes the per-image results.  Non-matching
+    requests stay queued for the next cycle, so mixed traffic degrades to
+    FIFO, never starves.
+
+    Backpressure: the queue is bounded (``max_queue``; overflow raises
+    ServiceOverloaded -> 429) and every request carries a deadline
+    (``request_timeout_s`` -> 504), so neither a traffic burst nor a wedged
+    device call can accumulate unbounded waiters.
     """
 
     def __init__(self, pipeline, *, window_ms: float = 10.0,
-                 max_batch: int = 8):
+                 max_batch: int = 8, max_queue: int = 64,
+                 request_timeout_s: float = 600.0):
         self.pipeline = pipeline
         self.window_s = window_ms / 1e3
         self.max_batch = max_batch
+        self.max_queue = max_queue
+        self.request_timeout_s = request_timeout_s
         self._queue: list[_Pending] = []
         self._cv = threading.Condition()
         self._stop = False
@@ -105,12 +122,43 @@ class MicroBatcher:
 
     def submit(self, img: np.ndarray, tri: np.ndarray,
                opts: PipelineOptions):
-        """Blocking: returns (alpha, matted) numpy arrays for ONE image."""
-        item = _Pending(img, tri, (img.shape[0], img.shape[1], opts), opts)
+        """Blocking: returns (alpha, matted) numpy arrays for ONE image.
+
+        Raises ServiceOverloaded when the queue is at capacity (the caller
+        maps this to 429) and RequestTimeout if the item is not completed
+        within ``request_timeout_s`` — so a wedged device call degrades to
+        bounded per-request failures instead of every caller blocking
+        forever.  The batch key includes the TRIMAP shape: image and trimap
+        are resized independently by the pipeline, so two requests with
+        equal image sizes but different trimap sizes must not stack (a
+        mixed np.stack would fail the whole batch)."""
+        item = _Pending(img, tri,
+                        (img.shape[0], img.shape[1], tri.shape, opts), opts)
         with self._cv:
+            if len(self._queue) >= self.max_queue:
+                METRICS.count("rejected_overload")
+                raise ServiceOverloaded(
+                    f"queue full ({self.max_queue} pending)")
             self._queue.append(item)
+            METRICS.observe("queue_depth", float(len(self._queue)))
             self._cv.notify()
-        item.done.wait()
+        deadline = time.monotonic() + self.request_timeout_s
+        # wait in slices so a dead worker thread is noticed promptly even
+        # with a generous request deadline
+        while not item.done.wait(timeout=min(
+                1.0, max(0.0, deadline - time.monotonic()))):
+            if not self._worker.is_alive():
+                with self._cv:      # drop the item if still queued
+                    if item in self._queue:
+                        self._queue.remove(item)
+                raise RuntimeError("micro-batcher worker died")
+            if time.monotonic() >= deadline:
+                with self._cv:
+                    if item in self._queue:
+                        self._queue.remove(item)
+                METRICS.count("request_timeouts")
+                raise RequestTimeout(
+                    f"request not completed in {self.request_timeout_s:.0f}s")
         if item.err is not None:
             raise item.err
         return item.alpha, item.matted
@@ -177,37 +225,80 @@ class MicroBatcher:
                 matted = np.asarray(matted)
                 self.batch_calls += 1
                 METRICS.count("batches")
-                METRICS.observe_ms("batch_size", float(len(batch)))
+                METRICS.observe("batch_size", float(len(batch)))
                 for i, x in enumerate(batch):
                     x.alpha, x.matted = alpha[i], matted[i]
                     x.done.set()
-            except Exception as e:  # pragma: no cover - defensive
+            except Exception as e:
+                # a poisoned request fails ITS batch only; the worker lives
                 for x in batch:
                     x.err = e
                     x.done.set()
+            except BaseException as e:  # pragma: no cover - defensive
+                # KeyboardInterrupt/SystemExit escaping the pipeline: fail
+                # the in-flight batch so no caller hangs, then re-raise
+                # (submit()'s liveness check surfaces the dead worker to
+                # everything still queued)
+                for x in batch:
+                    x.err = RuntimeError(f"worker terminated: {e!r}")
+                    x.done.set()
+                raise
+
+
+VALID_MODES = ("alpha_only", "matted_rgba", "matted_rgb", "alpha_blend")
+MAX_IMAGE_SIDE = 8192          # reject absurd decode bombs up front
+MAX_BODY_BYTES = 128 << 20     # bound request reads (128 MB of JSON+base64)
+
+
+class BadRequest(ValueError):
+    """Client-side input error (HTTP 400)."""
 
 
 class MattingService:
     """Owns the pipeline; requests coalesce through the micro-batcher."""
 
     def __init__(self, pipeline: MattingPipeline, *, window_ms: float = 10.0,
-                 max_batch: int = 8):
+                 max_batch: int = 8, max_queue: int = 64,
+                 request_timeout_s: float = 600.0):
         self.pipeline = pipeline
         self.batcher = MicroBatcher(pipeline, window_ms=window_ms,
-                                    max_batch=max_batch)
+                                    max_batch=max_batch, max_queue=max_queue,
+                                    request_timeout_s=request_timeout_s)
 
     def matte(self, req: dict) -> dict:
         for field in ("image", "trimap"):
             if field not in req:
                 raise KeyError(field)
-        img = _png_to_array(req["image"], 3)
-        tri = _png_to_array(req["trimap"], 1)[..., 0]
+        try:
+            img = _png_to_array(req["image"], 3)
+            tri = _png_to_array(req["trimap"], 1)[..., 0]
+        except Exception as e:
+            raise BadRequest(f"undecodable image/trimap payload: {e}") from e
+        for name, arr in (("image", img), ("trimap", tri)):
+            if max(arr.shape[:2]) > MAX_IMAGE_SIDE or min(arr.shape[:2]) < 1:
+                raise BadRequest(
+                    f"{name} dimensions {arr.shape[:2]} outside "
+                    f"[1, {MAX_IMAGE_SIDE}]")
+        size = int(req.get("inference_size", 1024))
+        # the latent stack downsamples 8x in the VAE and 8x across U-Net
+        # stages: sizes must be multiples of 64 (node UI offers 512..1024;
+        # the tiny CI config runs 64)
+        if size % 64 != 0 or not 64 <= size <= 2048:
+            raise BadRequest(
+                f"inference_size {size} must be a multiple of 64 in "
+                f"[64, 2048]")
+        mode = str(req.get("output_mode", "alpha_only"))
+        if mode not in VALID_MODES:
+            raise BadRequest(f"output_mode {mode!r} not in {VALID_MODES}")
+        tc = float(req.get("trimap_constraint", 0.8))
+        if not 0.0 <= tc <= 1.0:
+            raise BadRequest(f"trimap_constraint {tc} outside [0, 1]")
         opts = PipelineOptions(
-            inference_size=int(req.get("inference_size", 1024)),
+            inference_size=size,
             is_transparent=bool(req.get("is_transparent", False)),
-            output_mode=str(req.get("output_mode", "alpha_only")),
+            output_mode=mode,
             mask_refine=bool(req.get("mask_refine", True)),
-            trimap_constraint=float(req.get("trimap_constraint", 0.8)),
+            trimap_constraint=tc,
         )
         t0 = time.perf_counter()
         alpha_np, matted_np = self.batcher.submit(img, tri, opts)
@@ -246,10 +337,20 @@ def make_handler(service: MattingService):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > MAX_BODY_BYTES:
+                    self._send(413, {"error": f"body {n} bytes exceeds "
+                                              f"{MAX_BODY_BYTES}"})
+                    return
                 req = json.loads(self.rfile.read(n))
                 self._send(200, service.matte(req))
             except KeyError as e:
                 self._send(400, {"error": f"missing field {e}"})
+            except (BadRequest, json.JSONDecodeError) as e:
+                self._send(400, {"error": str(e)})
+            except ServiceOverloaded as e:
+                self._send(429, {"error": str(e)})
+            except RequestTimeout as e:
+                self._send(504, {"error": str(e)})
             except Exception as e:  # pragma: no cover - defensive
                 _log.exception("request failed")
                 self._send(500, {"error": str(e)})
@@ -260,8 +361,9 @@ def make_handler(service: MattingService):
     return Handler
 
 
-def serve(pipeline: MattingPipeline, port: int = 8700, host: str = "127.0.0.1"):
-    service = MattingService(pipeline)
+def serve(pipeline: MattingPipeline, port: int = 8700, host: str = "127.0.0.1",
+          **service_kwargs):
+    service = MattingService(pipeline, **service_kwargs)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     _log.info("serving on http://%s:%d", host, port)
     return httpd

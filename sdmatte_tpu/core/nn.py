@@ -42,8 +42,11 @@ def conv2d(p, x, *, stride: int = 1, padding=1, policy: Policy = FP32):
     3x3/stride-1/SAME shapes route to the Pallas implicit-GEMM kernel when
     the measured dispatch table (ops/dispatch.py) says it beats XLA on this
     exact shape; everything else takes XLA's native conv.  Param dicts that
-    carry int8 fields (ops/quant.py:quantize_vae_tree) take the int8 MXU
-    path instead (2x MAC rate on v5e)."""
+    carry int8 fields (ops/quant.py:quantize_vae_tree) take the int8 path —
+    an opt-in experimental mode that is currently SLOWER than bf16 through
+    this XLA toolchain (measured 0.34x on encode, benchmarks/ab_int8.py;
+    see the measurement note in ops/quant.py) despite the MXU's nominal
+    2x int8 MAC rate."""
     if "kernel_q" in p:
         from ..ops.quant import conv2d_int8
         return conv2d_int8(x, p["kernel_q"], p["kernel_scale"],

@@ -203,6 +203,101 @@ def conv3x3_same_csplit(x, w, b=None, *, affine=None, residual=None,
     return out if residual is None else out + residual.astype(out.dtype)
 
 
+# ------------------------------------------------------------------ int8 ---
+
+def _kernel_i8(x_hbm, w_ref, b_ref, s_ref, o_ref, xwin, sem, *, bh: int,
+               nI: int, nB: int, W: int, C: int, coN: int):
+    """int8 variant of _kernel: int8 window DMA (half the HBM bytes of bf16),
+    int8x int8 -> int32 MXU dots (2x MAC rate on v5e), fp32 dequant epilogue.
+    The activation scale is folded into s_ref (= s_x * w_scale) by the host
+    wrapper, so the epilogue is one fused multiply-add per output element.
+    Same grid/DMA structure as _kernel; no gn/residual fusion (quantization
+    happens before the kernel, in the producer's XLA epilogue)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    co = pl.program_id(2)
+    t = b * nI + i
+
+    def dma(slot, bb, ii):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * bh, bh + 2)],
+            xwin.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(co == 0)
+    def _fetch():
+        @pl.when(t == 0)
+        def _first():
+            dma(0, b, i).start()
+        dma(t % 2, b, i).wait()
+        @pl.when(t + 1 < nB * nI)
+        def _prefetch():
+            nxt = t + 1
+            dma((t + 1) % 2, nxt // nI, nxt % nI).start()
+
+    slot = t % 2
+    acc = None
+    for dy in range(3):
+        xcat = jnp.concatenate(
+            [xwin[slot, dy:dy + bh, dx:dx + W, :].reshape(bh * W, C)
+             for dx in range(3)], axis=-1)
+        d = jax.lax.dot(xcat, w_ref[dy], preferred_element_type=jnp.int32)
+        acc = d if acc is None else acc + d
+    accf = acc.astype(jnp.float32) * s_ref[0].astype(jnp.float32)
+    accf = accf + b_ref[0].astype(jnp.float32)
+    o_ref[0] = accf.reshape(bh, W, coN).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "cout_block",
+                                             "out_dtype"))
+def conv3x3_same_int8(xq, wq, scale_vec, b=None, *, block_rows: int = 0,
+                      cout_block: int = 0, out_dtype=jnp.bfloat16):
+    """xq (B,H,W,C) int8 NHWC, wq (3,3,C,Cout) int8 HWIO,
+    scale_vec (Cout,) fp32 = s_x * w_scale (caller folds the dynamic
+    activation scale in), b (Cout,) fp32 -> (B,H,W,Cout) out_dtype.
+
+    The VERDICT round-2 item-4 experiment: XLA's int8 conv lowering measured
+    0.34x (ops/quant.py header) — this routes the same int8 math through the
+    Pallas im2col kernel instead, keeping the v3 DMA/tiling structure."""
+    B, H, W, C = xq.shape
+    Cout = wq.shape[3]
+    abh, acoN = _pick_blocks(W, C, Cout, 1)
+    bh = block_rows or abh
+    coN = cout_block or acoN
+    Hp = -(-H // bh) * bh
+    Wp = -(-(W + 2) // 8) * 8
+    xp = jnp.pad(xq, ((0, 0), (1, 1 + (Hp - H)), (1, Wp - W - 1), (0, 0)))
+    wcat = wq.reshape(3, 3 * C, Cout)
+    bias = jnp.zeros((1, Cout), jnp.float32) if b is None else \
+        b.astype(jnp.float32).reshape(1, Cout)
+    scale = scale_vec.astype(jnp.float32).reshape(1, Cout)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_i8, bh=bh, nI=Hp // bh, nB=B,
+                          W=W, C=C, coN=coN),
+        grid=(B, Hp // bh, Cout // coN),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, 3 * C, coN), lambda b, i, co: (0, 0, co)),
+            pl.BlockSpec((1, coN), lambda b, i, co: (0, co)),
+            pl.BlockSpec((1, coN), lambda b, i, co: (0, co)),
+        ],
+        out_specs=pl.BlockSpec((1, bh, W, coN),
+                               lambda b, i, co: (b, i, 0, co)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W, Cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 2, Wp, C), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(xp, wcat, bias, scale)
+
+    return out[:, :H]
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows", "cout_block"))
 def conv3x3_same(x, w, b=None, *, affine=None, residual=None,
                  block_rows: int = 0, cout_block: int = 0):

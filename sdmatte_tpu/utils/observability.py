@@ -60,12 +60,18 @@ class Metrics:
         default_factory=lambda: defaultdict(float))
     timings_ms: Dict[str, List[float]] = dataclasses.field(
         default_factory=lambda: defaultdict(list))
+    values: Dict[str, List[float]] = dataclasses.field(
+        default_factory=lambda: defaultdict(list))
 
     def count(self, name: str, value: float = 1.0):
         self.counters[name] += value
 
     def observe_ms(self, name: str, ms: float):
         self.timings_ms[name].append(ms)
+
+    def observe(self, name: str, value: float):
+        """Unitless distribution (e.g. batch sizes, queue depths)."""
+        self.values[name].append(value)
 
     def summary(self) -> dict:
         import numpy as np
@@ -74,6 +80,11 @@ class Metrics:
             k: {"n": len(v), "p50_ms": float(np.percentile(v, 50)),
                 "p99_ms": float(np.percentile(v, 99)) if len(v) > 1 else float(v[0])}
             for k, v in self.timings_ms.items() if v
+        }
+        out["values"] = {
+            k: {"n": len(v), "p50": float(np.percentile(v, 50)),
+                "max": float(max(v))}
+            for k, v in self.values.items() if v
         }
         return out
 

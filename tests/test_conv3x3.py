@@ -115,3 +115,21 @@ def test_conv3x3_csplit_matches_direct(rng):
                                atol=5e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_conv3x3_int8_parity(rng):
+    """int8 kernel == XLA int8 conv (identical integer math, fp32 dequant)."""
+    from sdmatte_tpu.ops.conv3x3 import conv3x3_same_int8
+    xq = jnp.asarray(rng.integers(-127, 128, (1, 16, 24, 8)), jnp.int8)
+    wq = jnp.asarray(rng.integers(-127, 128, (3, 3, 8, 16)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, (16,)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = conv3x3_same_int8(xq, wq, scale, b, block_rows=8,
+                                out_dtype=jnp.float32)
+    ref = lax.conv_general_dilated(
+        xq, wq, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * scale + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-6)

@@ -103,6 +103,36 @@ def test_legacy_vae_attention_aliases_load():
     assert report.mismatched == []
 
 
+def test_external_verifier_ckpt_mode(tmp_path):
+    """tools/verify_manifest_external.py --ckpt: the stdlib safetensors
+    header reader + differ work end-to-end (the script itself ships to
+    weights-capable hosts; here its mechanics run on a synthetic file)."""
+    import importlib.util
+    import subprocess
+    import sys as _sys
+    root = os.path.dirname(FROZEN).rsplit("sdmatte_tpu", 1)[0]
+    script = os.path.join(root, "tools", "verify_manifest_external.py")
+
+    keys = {"unet.conv_in.weight": (8, 4, 3, 3), "unet.conv_in.bias": (8,)}
+    from safetensors.numpy import save_file
+    ckpt = tmp_path / "toy.safetensors"
+    save_file({k: np.zeros(v, np.float32) for k, v in keys.items()},
+              str(ckpt))
+    man = tmp_path / "manifest.json"
+    man.write_text(json.dumps({k: list(v) for k, v in keys.items()}))
+
+    r = subprocess.run([_sys.executable, script, "--manifest", str(man),
+                        "--ckpt", str(ckpt)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    # a shape change and an extra key must be detected
+    bad = dict(keys, **{"unet.conv_in.bias": (9,)})
+    man.write_text(json.dumps({k: list(v) for k, v in bad.items()}))
+    r = subprocess.run([_sys.executable, script, "--manifest", str(man),
+                        "--ckpt", str(ckpt)], capture_output=True, text=True)
+    assert r.returncode == 1 and "SHAPE MISMATCH" in r.stdout
+
+
 def test_buffer_keys_ignored_not_unexpected():
     """position_ids-style buffers (older transformers exports) are ignored."""
     from sdmatte_tpu.models import sdmatte

@@ -209,3 +209,146 @@ def test_microbatch_pads_to_power_of_two_buckets():
         b & (b - 1) == 0 for b in stub.batch_sizes), stub.batch_sizes
     got = sorted(float(r[0][0, 0]) for r in results)
     assert got == [0.0, 1.0, 2.0]   # each caller got a distinct real row
+
+
+# ------------------------------------------------------------- hardening --
+
+
+def test_batch_key_includes_trimap_shape():
+    """Same image size + DIFFERENT trimap sizes must not stack into one
+    np.stack call (the pipeline resizes them independently); both complete."""
+    from sdmatte_tpu.api.serve import MicroBatcher
+    from sdmatte_tpu.pipeline import PipelineOptions
+
+    stub = _StubPipeline(per_call_s=0.01)
+    mb = MicroBatcher(stub, window_ms=40.0, max_batch=8)
+    opts = PipelineOptions(inference_size=64)
+    img = np.zeros((32, 48, 3), np.float32)
+    outs = []
+
+    def worker(th, tw):
+        outs.append(mb.submit(img, np.zeros((th, tw), np.float32), opts))
+
+    threads = [threading.Thread(target=worker, args=s)
+               for s in [(32, 48), (16, 24), (32, 48)]]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.shutdown()
+    assert len(outs) == 3 and all(o[0].shape == (32, 48) for o in outs)
+    assert stub.calls >= 2   # the odd trimap went in its own batch
+
+
+def test_queue_overflow_raises_overloaded():
+    from sdmatte_tpu.api.serve import MicroBatcher, ServiceOverloaded
+    from sdmatte_tpu.pipeline import PipelineOptions
+
+    stub = _StubPipeline(per_call_s=0.3)
+    mb = MicroBatcher(stub, window_ms=1.0, max_batch=1, max_queue=2)
+    opts = PipelineOptions(inference_size=64)
+    img = np.zeros((16, 16, 3), np.float32)
+    tri = np.zeros((16, 16), np.float32)
+
+    errs = []
+
+    def worker():
+        try:
+            mb.submit(img, tri, opts)
+        except ServiceOverloaded as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.shutdown()
+    assert errs, "expected at least one ServiceOverloaded rejection"
+
+
+def test_request_timeout():
+    from sdmatte_tpu.api.serve import MicroBatcher, RequestTimeout
+    from sdmatte_tpu.pipeline import PipelineOptions
+
+    stub = _StubPipeline(per_call_s=5.0)   # far longer than the deadline
+    mb = MicroBatcher(stub, window_ms=1.0, max_batch=1,
+                      request_timeout_s=0.3)
+    opts = PipelineOptions(inference_size=64)
+    img = np.zeros((16, 16, 3), np.float32)
+    tri = np.zeros((16, 16), np.float32)
+    with pytest.raises(RequestTimeout):
+        mb.submit(img, tri, opts)
+    mb.shutdown()
+
+
+def test_poisoned_request_does_not_wedge_batcher():
+    """A request whose pipeline call raises fails ITS OWN batch with the
+    error; the worker survives and subsequent requests still succeed."""
+    from sdmatte_tpu.api.serve import MicroBatcher
+    from sdmatte_tpu.pipeline import PipelineOptions
+
+    class _Poisonable(_StubPipeline):
+        def __call__(self, imgs, tris, *, options):
+            if float(imgs.max()) > 0.5:
+                raise ValueError("poisoned input")
+            return super().__call__(imgs, tris, options=options)
+
+    stub = _Poisonable(per_call_s=0.01)
+    mb = MicroBatcher(stub, window_ms=1.0, max_batch=8,
+                      request_timeout_s=5.0)
+    opts = PipelineOptions(inference_size=64)
+    tri = np.zeros((16, 16), np.float32)
+
+    with pytest.raises(ValueError, match="poisoned"):
+        mb.submit(np.ones((16, 16, 3), np.float32), tri, opts)
+    alpha, matted = mb.submit(np.zeros((16, 16, 3), np.float32), tri, opts)
+    assert alpha.shape == (16, 16)
+    mb.shutdown()
+
+
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_worker_death_fails_fast_not_forever():
+    """A BaseException escaping the pipeline kills the worker, but callers
+    get prompt errors (liveness check), not an eternal done.wait()."""
+    from sdmatte_tpu.api.serve import MicroBatcher
+    from sdmatte_tpu.pipeline import PipelineOptions
+
+    class _Lethal(_StubPipeline):
+        def __call__(self, imgs, tris, *, options):
+            raise SystemExit("simulated interpreter teardown")
+
+    mb = MicroBatcher(_Lethal(), window_ms=1.0, max_batch=1,
+                      request_timeout_s=30.0)
+    opts = PipelineOptions(inference_size=64)
+    img = np.zeros((16, 16, 3), np.float32)
+    tri = np.zeros((16, 16), np.float32)
+
+    with pytest.raises(RuntimeError, match="worker terminated"):
+        mb.submit(img, tri, opts)
+    mb._worker.join(timeout=5)
+    import time as _t
+    t0 = _t.perf_counter()
+    with pytest.raises(RuntimeError, match="worker died"):
+        mb.submit(img, tri, opts)
+    assert _t.perf_counter() - t0 < 10   # bounded, not request_timeout_s
+
+
+def test_service_validation_http(server):
+    """Bad inference_size / output_mode / payload -> 400, not 500."""
+    img = np.zeros((16, 16, 3), np.float32)
+    tri = np.zeros((16, 16), np.float32)
+    ok = {"image": _png_b64(img), "trimap": _png_b64(tri)}
+    code, body = _post(server + "/v1/matte",
+                       dict(ok, inference_size=123))
+    assert code == 400 and "inference_size" in body["error"]
+    code, body = _post(server + "/v1/matte",
+                       dict(ok, output_mode="nope"))
+    assert code == 400 and "output_mode" in body["error"]
+    code, body = _post(server + "/v1/matte",
+                       dict(ok, trimap_constraint=7.0))
+    assert code == 400 and "trimap_constraint" in body["error"]
+    code, body = _post(server + "/v1/matte",
+                       {"image": "bm90YXBuZw==", "trimap": ok["trimap"]})
+    assert code == 400 and "undecodable" in body["error"]
