@@ -1,0 +1,88 @@
+"""Quantify the GroupNorm-stats ceiling in the decoder (VERDICT r2 item 6).
+
+The decoder stays pure XLA (any Pallas custom call triggers ~256 MB NHWC
+relayouts — ops/dispatch.py history), so the only remaining fusion idea is
+folding the GN stats *reduction* into the producer's epilogue.  Before
+building anything: measure the ceiling.  This times the real b=1 decode vs
+a stats-free variant (every GroupNorm's (a, d) replaced by constants — the
+apply/silu/conv work is unchanged, only the reduction passes disappear).
+The delta IS the maximum any stats fusion could save.  Also times a
+bf16-stats variant (half the reduction read traffic, different numerics —
+only interesting if the fp32->bf16 delta is large AND quality holds).
+
+Run: nohup python -u benchmarks/decode_stats_probe.py > /tmp/dec_stats.log 2>&1 &
+"""
+
+import os
+import sys
+import time
+from unittest import mock
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from sdmatte_tpu.configs import SDMatteConfig  # noqa: E402
+from sdmatte_tpu.core.dtypes import BF16  # noqa: E402
+from sdmatte_tpu.core import nn as F  # noqa: E402
+from sdmatte_tpu.models import vae  # noqa: E402
+
+
+def timeit(fn, *args, iters=6, warmup=2, label=""):
+    times = []
+    for i in range(warmup + iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        float(jnp.sum(out[..., :1, :1]))
+        if i >= warmup:
+            times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(times, 50))
+    print(f"{label:36s} {p50*1e3:8.2f} ms", flush=True)
+    return p50
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    cfg = SDMatteConfig()
+    pol = BF16
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16), vae.init(cfg.vae, seed=0))
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((1, 128, 128, 4)), jnp.bfloat16)
+
+    dec = jax.jit(lambda p, z: vae.decode(p, z, cfg.vae, policy=pol,
+                                          attn_impl="flash"))
+    t_base = timeit(dec, params, z, label="decode (fp32 stats, production)")
+
+    real_stats = F.group_norm_stats
+
+    def const_stats(p, x, *, groups=32, eps=1e-5):
+        b, _, _, c = x.shape
+        return (jnp.ones((b, c), jnp.float32), jnp.zeros((b, c), jnp.float32))
+
+    with mock.patch.object(F, "group_norm_stats", const_stats):
+        dec2 = jax.jit(lambda p, z: vae.decode(p, z, cfg.vae, policy=pol,
+                                               attn_impl="flash"))
+        t_nostats = timeit(dec2, params, z, label="decode (stats removed)")
+
+    def bf16_stats(p, x, *, groups=32, eps=1e-5):
+        a, d = real_stats(p, x.astype(jnp.bfloat16), groups=groups, eps=eps)
+        return a, d
+
+    with mock.patch.object(F, "group_norm_stats", bf16_stats):
+        dec3 = jax.jit(lambda p, z: vae.decode(p, z, cfg.vae, policy=pol,
+                                               attn_impl="flash"))
+        t_bf16 = timeit(dec3, params, z, label="decode (bf16-input stats)")
+
+    print(f"\nstats ceiling: {1e3*(t_base - t_nostats):.1f} ms "
+          f"({100*(t_base-t_nostats)/t_base:.1f}% of decode); "
+          f"bf16-stats saves {1e3*(t_base - t_bf16):.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

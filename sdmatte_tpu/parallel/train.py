@@ -11,6 +11,7 @@ the ``data`` axis — gradients all-reduced over ICI by XLA.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -38,36 +39,91 @@ def uncertainty_weight(pred: jnp.ndarray, width: int = 15) -> jnp.ndarray:
         band, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, 1, 1, 1), "SAME")
 
 
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Weights for the composite matting loss.  The reference's training loss
+    was stripped upstream (SURVEY.md §0); these terms reconstruct the
+    training-era API its flags imply: plain L1, uncertainty-band-weighted L1
+    (the dead util at reference utils.py:62-83), gradient L1 (edge fidelity
+    — the standard matting-objective companion to SAD), and an optional
+    feature-distillation term consuming the use_dis_loss feature maps
+    (reference meta_arch.py:39, replace.py:465,490,506,538)."""
+    l1: float = 1.0
+    unknown_l1: float = 1.0
+    grad_l1: float = 0.0
+    dis: float = 0.0
+
+
+def _grad_l1(pred, gt):
+    """L1 on spatial finite differences (edge-fidelity term)."""
+    dyp, dyg = pred[:, 1:] - pred[:, :-1], gt[:, 1:] - gt[:, :-1]
+    dxp, dxg = pred[:, :, 1:] - pred[:, :, :-1], gt[:, :, 1:] - gt[:, :, :-1]
+    return jnp.mean(jnp.abs(dyp - dyg)) + jnp.mean(jnp.abs(dxp - dxg))
+
+
 def matting_loss(params, cfg: SDMatteConfig, batch: dict, *,
-                 policy: Policy = FP32, attn_impl: str = "xla"):
-    """L1 alpha loss + uncertainty-weighted L1 (reference-era loss shape)."""
-    pred = sdmatte.forward(params, cfg, batch, policy=policy,
-                           attn_impl=attn_impl)
+                 policy: Policy = FP32, attn_impl: str = "xla",
+                 loss_cfg: LossConfig = LossConfig()):
+    """Composite matting loss; term weights via ``loss_cfg``.
+
+    With cfg.use_dis_loss and a ``teacher_features`` list in the batch, adds
+    L2 feature distillation over the down/mid/up capture points."""
+    out = sdmatte.forward(params, cfg, batch, policy=policy,
+                          attn_impl=attn_impl)
+    pred, features = out if isinstance(out, tuple) else (out, None)
     gt = batch["alpha_gt"]
     l1 = jnp.abs(pred - gt)
-    w = uncertainty_weight(gt)
-    denom = jnp.maximum(jnp.sum(w), 1.0)
-    return jnp.mean(l1) + jnp.sum(l1 * w) / denom
+    loss = loss_cfg.l1 * jnp.mean(l1)
+    if loss_cfg.unknown_l1:
+        w = uncertainty_weight(gt)
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        loss = loss + loss_cfg.unknown_l1 * jnp.sum(l1 * w) / denom
+    if loss_cfg.grad_l1:
+        loss = loss + loss_cfg.grad_l1 * _grad_l1(pred, gt)
+    if loss_cfg.dis and features is not None \
+            and batch.get("teacher_features") is not None:
+        for f, t in zip(features, batch["teacher_features"]):
+            loss = loss + loss_cfg.dis * jnp.mean(
+                jnp.square(f.astype(jnp.float32) - t.astype(jnp.float32)))
+    return loss
 
 
-def init_train_state(params, learning_rate: float = 1e-5):
-    tx = optax.adamw(learning_rate)
+def make_lr_schedule(base_lr: float = 1e-5, *, warmup_steps: int = 100,
+                     total_steps: int = 10_000, end_scale: float = 0.1):
+    """Linear warmup -> cosine decay (the standard fine-tune shape)."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=base_lr, warmup_steps=warmup_steps,
+        decay_steps=max(total_steps, warmup_steps + 1),
+        end_value=base_lr * end_scale)
+
+
+def init_train_state(params, learning_rate=1e-5, *, weight_decay: float = 0.0,
+                     grad_clip: Optional[float] = 1.0):
+    """``learning_rate`` may be a float or an optax schedule
+    (make_lr_schedule).  Gradient clipping defaults on — diffusion-backbone
+    fine-tunes spike early."""
+    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    if grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     return tx, tx.init(params)
 
 
 def train_step(params, opt_state, batch, *, cfg: SDMatteConfig, tx,
-               policy: Policy = FP32, attn_impl: str = "xla"):
+               policy: Policy = FP32, attn_impl: str = "xla",
+               loss_cfg: LossConfig = LossConfig()):
     """One SPMD step: loss/grad on the local batch shard, gradients combined
     by XLA's all-reduce when jitted with batch sharded over the mesh."""
     loss, grads = jax.value_and_grad(matting_loss)(
-        params, cfg, batch, policy=policy, attn_impl=attn_impl)
+        params, cfg, batch, policy=policy, attn_impl=attn_impl,
+        loss_cfg=loss_cfg)
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
 
 
 def make_sharded_train_step(mesh, cfg: SDMatteConfig, tx, *,
-                            policy: Policy = FP32, attn_impl: str = "xla"):
+                            policy: Policy = FP32, attn_impl: str = "xla",
+                            loss_cfg: LossConfig = LossConfig()):
     """jit the step with explicit in/out shardings over the mesh: params and
     optimizer state replicated, batch sharded on 'data'."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -78,7 +134,7 @@ def make_sharded_train_step(mesh, cfg: SDMatteConfig, tx, *,
         return NamedSharding(mesh, P("data", *([None] * (leaf.ndim - 1))))
 
     step = functools.partial(train_step, cfg=cfg, tx=tx, policy=policy,
-                             attn_impl=attn_impl)
+                             attn_impl=attn_impl, loss_cfg=loss_cfg)
 
     def wrapped(params, opt_state, batch):
         batch = jax.lax.with_sharding_constraint(
@@ -87,3 +143,44 @@ def make_sharded_train_step(mesh, cfg: SDMatteConfig, tx, *,
 
     return jax.jit(wrapped,
                    out_shardings=(repl, repl, repl))
+
+
+def train_loop(params, cfg: SDMatteConfig, *, steps: int, batch_size: int,
+               mesh=None, sampler=None, learning_rate=1e-4,
+               loss_cfg: LossConfig = LossConfig(),
+               policy: Policy = FP32, attn_impl: str = "xla",
+               ckpt_dir: Optional[str] = None, ckpt_every: int = 0,
+               log_every: int = 10):
+    """Full fine-tune driver: data pipeline -> sharded step -> checkpoints.
+
+    Composition runs one step ahead on a host thread (parallel/data.py);
+    the device only ever sees ready batches.  Returns (params, losses)."""
+    from .data import CompositeSampler, prefetch_batches
+    from ..utils.observability import get_logger
+    log = get_logger("sdmatte_tpu.train")
+
+    sampler = sampler or CompositeSampler(size=64)
+    tx, opt_state = init_train_state(params, learning_rate)
+    if mesh is not None:
+        from .mesh import replicate
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+        step_fn = make_sharded_train_step(mesh, cfg, tx, policy=policy,
+                                          attn_impl=attn_impl,
+                                          loss_cfg=loss_cfg)
+    else:
+        step_fn = jax.jit(functools.partial(
+            train_step, cfg=cfg, tx=tx, policy=policy, attn_impl=attn_impl,
+            loss_cfg=loss_cfg))
+
+    losses = []
+    for i, batch in enumerate(prefetch_batches(sampler, batch_size,
+                                               steps=steps, mesh=mesh)):
+        params, opt_state, loss = step_fn(params, opt_state, batch)
+        if i % log_every == 0 or i == steps - 1:
+            losses.append(float(loss))
+            log.info("step %d loss %.5f", i, losses[-1])
+        if ckpt_dir and ckpt_every and (i + 1) % ckpt_every == 0:
+            from . import checkpointing
+            checkpointing.save_train_state(ckpt_dir, i + 1, params, opt_state)
+    return params, losses
