@@ -44,11 +44,138 @@ the winner table consulted by core/nn.conv2d).  Constraints: NHWC, kernel
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel_v5(x_hbm, w_ref, b_ref, *rest, bh: int, nI: int,
+               nB: int, W: int, C: int, coN: int, H: int,
+               fuse_gn: bool, fuse_res: bool):
+    """Borderless-DMA variant: x stays UNPADDED in HBM.
+
+    v3's host-side jnp.pad materializes a full second copy of the activation
+    that XLA cannot fuse into the custom call — harmless at b<=2 (<=0.6 GiB)
+    but it OOM'd the b=8 throughput graph when stage-0 was dispatched
+    (benchmarks/ab_enc_batch.py).  Here the halo is synthesized in-kernel:
+
+      * rows: 3-case DMA (first/interior/last row-block) — the boundary
+        blocks copy bh+1 rows into a row-shifted scratch slice (row offset
+        rides the MAJOR axis, so it is tile-aligned) and zero the border row
+      * columns: the dx=0/dx=2 im2col strips are built with an explicit
+        zero edge column at concat time — same VPU copy count as v3's
+        shifted slices, no scratch-level column padding at all
+
+    Requires H % bh == 0, W % 8 == 0, H/bh >= 2 (all production shapes);
+    the wrapper falls back to the padded v3 path otherwise."""
+    rest = list(rest)
+    ad_ref = rest.pop(0) if fuse_gn else None
+    res_ref = rest.pop(0) if fuse_res else None
+    o_ref, xwin, sem = rest
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    co = pl.program_id(2)
+    t = b * nI + i
+
+    def start_dma(slot, bb, ii):
+        # one async copy per case; the descriptor (src/dst/sem) must be
+        # reconstructed identically at wait time, so each case uses the
+        # same sem slot and is selected by the same predicate
+        @pl.when(ii == 0)
+        def _first():
+            pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(0, bh + 1)],
+                xwin.at[slot, pl.ds(1, bh + 1)],
+                sem.at[slot]).start()
+        @pl.when((ii > 0) & (ii < nI - 1))
+        def _interior():
+            pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(ii * bh - 1, bh + 2)],
+                xwin.at[slot],
+                sem.at[slot]).start()
+        @pl.when(ii == nI - 1)
+        def _last():
+            pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(ii * bh - 1, bh + 1)],
+                xwin.at[slot, pl.ds(0, bh + 1)],
+                sem.at[slot]).start()
+
+    def wait_dma(slot, bb, ii):
+        @pl.when(ii == 0)
+        def _first():
+            pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(0, bh + 1)],
+                xwin.at[slot, pl.ds(1, bh + 1)],
+                sem.at[slot]).wait()
+        @pl.when((ii > 0) & (ii < nI - 1))
+        def _interior():
+            pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(ii * bh - 1, bh + 2)],
+                xwin.at[slot],
+                sem.at[slot]).wait()
+        @pl.when(ii == nI - 1)
+        def _last():
+            pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(ii * bh - 1, bh + 1)],
+                xwin.at[slot, pl.ds(0, bh + 1)],
+                sem.at[slot]).wait()
+
+    @pl.when(co == 0)
+    def _fetch():
+        @pl.when(t == 0)
+        def _f0():
+            start_dma(0, b, i)
+        wait_dma(t % 2, b, i)
+        @pl.when(t + 1 < nB * nI)
+        def _prefetch():
+            nxt = t + 1
+            start_dma((t + 1) % 2, nxt // nI, nxt % nI)
+        sl = t % 2
+        # boundary blocks: the DMA left one scratch row untouched — zero it
+        @pl.when(i == 0)
+        def _zt():
+            xwin[sl, 0:1] = jnp.zeros((1, W, C), xwin.dtype)
+        @pl.when(i == nI - 1)
+        def _zb():
+            xwin[sl, bh + 1:bh + 2] = jnp.zeros((1, W, C), xwin.dtype)
+        if fuse_gn:
+            win = xwin[sl].astype(jnp.float32)
+            a = ad_ref[0, 0].astype(jnp.float32)
+            d = ad_ref[0, 1].astype(jnp.float32)
+            y = win * a + d
+            y = y * jax.nn.sigmoid(y)
+            # the zeroed border rows must STAY zero through the nonlinearity
+            # (silu(0*a+d) = silu(d) != 0); columns need no mask — the zero
+            # edge columns are introduced after activation, at strip build
+            row_ids = i * bh - 1 + jax.lax.broadcasted_iota(
+                jnp.int32, (bh + 2, W, 1), 0)
+            interior = (row_ids >= 0) & (row_ids <= H - 1)
+            xwin[sl] = jnp.where(interior, y, 0.0).astype(xwin.dtype)
+
+    slot = t % 2
+    zcol = None
+    acc = None
+    for dy in range(3):
+        rows = xwin[slot, dy:dy + bh]                  # (bh, W, C)
+        if zcol is None:
+            zcol = jnp.zeros((bh, 1, C), rows.dtype)
+        strips = [
+            jnp.concatenate([zcol, rows[:, :W - 1]], axis=1),
+            rows,
+            jnp.concatenate([rows[:, 1:], zcol], axis=1),
+        ]
+        xcat = jnp.concatenate(
+            [s.reshape(bh * W, C) for s in strips], axis=-1)
+        d = jax.lax.dot(xcat, w_ref[dy], preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    acc = acc + b_ref[0].astype(jnp.float32)
+    if fuse_res:
+        acc = acc + res_ref[0].reshape(bh * W, coN).astype(jnp.float32)
+    o_ref[0] = acc.reshape(bh, W, coN).astype(o_ref.dtype)
 
 
 def _kernel(x_hbm, w_ref, b_ref, *rest, bh: int, nI: int,
@@ -316,13 +443,29 @@ def conv3x3_same(x, w, b=None, *, affine=None, residual=None,
                              fuse_res=residual is not None)
     bh = block_rows or abh
     coN = cout_block or acoN
-    Hp = -(-H // bh) * bh          # pad rows to a block multiple
-    Wp = -(-(W + 2) // 8) * 8      # window width tileable (sublane multiple)
-    xp = jnp.pad(x, ((0, 0), (1, 1 + (Hp - H)), (1, Wp - W - 1), (0, 0)))
     # (3, 3C, Cout): contraction index = dx*C + c (lane-concat order)
     wcat = w.reshape(3, 3 * C, Cout)
     bias = jnp.zeros((1, Cout), jnp.float32) if b is None else \
         b.astype(jnp.float32).reshape(1, Cout)
+
+    borderless = (H % bh == 0 and W % 8 == 0 and H // bh >= 2
+                  and not os.environ.get("SDMATTE_CONV_V3"))
+    if borderless:
+        # v5: x stays unpadded in HBM — the halo is synthesized in-kernel
+        # (see _kernel_v5); kills the jnp.pad full-copy residency + traffic
+        xp, Hp, Wp = x, H, W
+        kern = functools.partial(_kernel_v5, bh=bh, nI=H // bh, nB=B,
+                                 W=W, C=C, coN=coN, H=H,
+                                 fuse_gn=affine is not None,
+                                 fuse_res=residual is not None)
+    else:
+        Hp = -(-H // bh) * bh          # pad rows to a block multiple
+        Wp = -(-(W + 2) // 8) * 8      # window width tileable (sublanes)
+        xp = jnp.pad(x, ((0, 0), (1, 1 + (Hp - H)), (1, Wp - W - 1), (0, 0)))
+        kern = functools.partial(_kernel, bh=bh, nI=Hp // bh, nB=B,
+                                 nCo=Cout // coN, W=W, C=C, coN=coN, H=H,
+                                 fuse_gn=affine is not None,
+                                 fuse_res=residual is not None)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),       # stays in HBM
@@ -343,17 +486,14 @@ def conv3x3_same(x, w, b=None, *, affine=None, residual=None,
         operands.append(residual)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, bh=bh, nI=Hp // bh, nB=B, nCo=Cout // coN,
-                          W=W, C=C, coN=coN, H=H,
-                          fuse_gn=affine is not None,
-                          fuse_res=residual is not None),
+        kern,
         grid=(B, Hp // bh, Cout // coN),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bh, W, coN),
                                lambda b, i, co: (b, i, 0, co)),
         out_shape=jax.ShapeDtypeStruct((B, Hp, W, Cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, bh + 2, Wp, C), x.dtype),
+            pltpu.VMEM((2, bh + 2, W if borderless else Wp, C), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

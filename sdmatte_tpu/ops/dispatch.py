@@ -81,6 +81,16 @@ PALLAS_CONV_WINS: dict[tuple[int, int, int, int],
 
 _MIN_SPEEDUP = 1.05  # dispatch only on a clear win
 
+# The v3 kernel's host-side halo pad (jnp.pad) materializes a second
+# full-size copy of the activation that XLA cannot fuse into the custom
+# call.  Fine at b<=2 (<=0.6 GiB), fatal inside the b=8 throughput graph:
+# injecting the (16,1024,128,128) entry OOM'd 16 GB HBM at buffer
+# assignment, and routing the kernel through lax.map batch groups measured
+# 0.52x vs XLA (serialized groups; benchmarks/ab_enc_batch.py, 2026-08-17).
+# The v5 borderless-DMA kernel (ops/conv3x3.py) has NO pad copy, so the
+# residency veto applies only to shapes that would fall back to v3.
+_PAD_RESIDENCY_LIMIT = int(2.6 * (1 << 30))
+
 
 def pallas_conv3x3_config(b: int, h: int, w: int, cin: int, cout: int,
                           *, stride: int = 1, dtype_ok: bool = True):
@@ -89,6 +99,12 @@ def pallas_conv3x3_config(b: int, h: int, w: int, cin: int, cout: int,
     if os.environ.get("SDMATTE_NO_PALLAS_CONV"):   # A/B + escape hatch
         return None
     if stride != 1 or not dtype_ok or h != w:
+        return None
+    entry0 = PALLAS_CONV_WINS.get((b, h, cin, cout))
+    br = entry0[1] if entry0 else 8
+    borderless_ok = (h % br == 0 and w % 8 == 0 and h // br >= 2
+                     and not os.environ.get("SDMATTE_CONV_V3"))
+    if not borderless_ok and b * h * w * cin * 2 > _PAD_RESIDENCY_LIMIT:
         return None
     if jax.default_backend() != "tpu":
         return None

@@ -133,3 +133,22 @@ def test_conv3x3_int8_parity(rng):
         preferred_element_type=jnp.int32).astype(jnp.float32) * scale + b
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-3, rtol=1e-6)
+
+
+def test_dispatch_pad_residency_guard(monkeypatch):
+    """The residency veto applies only where the borderless v5 kernel can't
+    run (v3's jnp.pad second copy OOM'd the b=8 throughput graph —
+    ops/dispatch.py history).  With v5 eligible, big batches dispatch."""
+    import jax as _jax
+    from sdmatte_tpu.ops import dispatch as disp
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    monkeypatch.setitem(disp.PALLAS_CONV_WINS, (16, 1024, 128, 128),
+                        (9.9, 8, 128, False, False, 0))
+    # v5-eligible (1024 % 8 == 0, >= 2 row blocks): dispatched despite size
+    assert disp.pallas_conv3x3_config(16, 1024, 1024, 128, 128) is not None
+    # forced onto the padded v3 path: the residency veto kicks in
+    monkeypatch.setenv("SDMATTE_CONV_V3", "1")
+    assert disp.pallas_conv3x3_config(16, 1024, 1024, 128, 128) is None
+    monkeypatch.delenv("SDMATTE_CONV_V3")
+    # small batches stay dispatched either way (pad copy ~0.5 GiB)
+    assert disp.pallas_conv3x3_config(2, 1024, 1024, 128, 128) is not None
