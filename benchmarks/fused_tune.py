@@ -98,8 +98,9 @@ def main():
               f"{fl/t_xla/1e12:6.1f} TF/s", flush=True)
         best = (t_xla, "xla", 0, 0)
 
-        cands = [(bh, coN) for bh in (8, 16) for coN in (128, 256)
-                 if coN <= c and c % coN == 0]
+        co_list = [coN for coN in (128, 256) if coN <= c and c % coN == 0] \
+            or [c]   # 320ch (U-Net stage-0): no 128-divisor, tile whole Cout
+        cands = [(bh, coN) for bh in (8, 16) for coN in co_list]
         for bh, coN in cands:
             for mode in ("conv", "fgn", "fgnres"):
                 def step(y, mode=mode, bh=bh, coN=coN):

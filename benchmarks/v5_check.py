@@ -60,12 +60,13 @@ def main():
     fn_unjit = mod.conv3x3_same.__wrapped__
     for b, s, c, bh, coN in SHAPES:
         oh = overhead()
-        x = jnp.asarray(rng.standard_normal((b, s, s, c),
-                                            dtype=np.float32) * 0.1,
-                        jnp.bfloat16)
-        w = jnp.asarray(rng.standard_normal((3, 3, c, c),
-                                            dtype=np.float32) * 0.02,
-                        jnp.bfloat16)
+        # generate ON DEVICE: jnp.asarray of a host fp32 array stages the
+        # full fp32 copy in HBM before converting (8.6 GB at b=16x1024^2,
+        # OOMs next to the bf16 target + weights)
+        kx, kw = jax.random.split(jax.random.key(b * 1000 + s))
+        x = (jax.random.normal(kx, (b, s, s, c), jnp.bfloat16) * 0.1)
+        x = jax.block_until_ready(x)
+        w = jax.random.normal(kw, (3, 3, c, c), jnp.bfloat16) * 0.02
         bias = jnp.asarray(rng.standard_normal(c), jnp.float32)
         fl = 2 * b * s * s * c * c * 9
 

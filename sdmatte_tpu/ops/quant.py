@@ -25,8 +25,17 @@ NOT deliver the int8 MAC-rate win on these conv shapes — encode(b2@1024)
 the int8 convs), decode 1.04x (a wash).  The mode therefore stays opt-in
 and OFF; quality passed its gate (alpha MAE 0.0057 <= 0.01 vs bf16), so the
 blocker is purely the XLA int8 conv lowering.  Revisit if the toolchain
-gains a native int8 conv path, or route int8 through the Pallas im2col
-kernel (ops/conv3x3.py) with int8 dots instead.
+gains a native int8 conv path.
+
+ROUND 3 (benchmarks/ab_int8_pallas.py, 2026-08-17): int8 WAS routed through
+the Pallas im2col kernel (conv3x3.conv3x3_same_int8 — bit-exact vs XLA int8
+on chip).  Measured on production-pattern chains: 0.85x vs bf16-Pallas at
+2x1024^2x128, 1.06x at 2x512^2x256 — below the 1.2x keep bar.  Cause: the
+kernel is window-DMA/VPU-bound (bf16 sustains 87-124 TF/s, well under the
+197 TF/s MXU peak), so doubling MAC rate buys nothing, the int8 dx-lane
+concat is slower on the VPU, and dynamic quantization adds an HBM pass.
+int8 therefore stays an opt-in memory-saving mode, not a speed mode, on
+this hardware generation.
 """
 
 from __future__ import annotations
