@@ -6,9 +6,10 @@ folding the GN stats *reduction* into the producer's epilogue.  Before
 building anything: measure the ceiling.  This times the real b=1 decode vs
 a stats-free variant (every GroupNorm's (a, d) replaced by constants — the
 apply/silu/conv work is unchanged, only the reduction passes disappear).
-The delta IS the maximum any stats fusion could save.  Also times a
-bf16-stats variant (half the reduction read traffic, different numerics —
-only interesting if the fp32->bf16 delta is large AND quality holds).
+The delta IS the maximum any stats fusion could save.
+RESULT (2026-08-17, interleaved medians): 5.1 ms = 3% of decode — closed
+negative; the decoder's non-conv time is apply/resize bandwidth, not the
+stats reductions.
 
 Run: nohup python -u benchmarks/decode_stats_probe.py > /tmp/dec_stats.log 2>&1 &
 """
@@ -57,9 +58,6 @@ def main():
 
     dec = jax.jit(lambda p, z: vae.decode(p, z, cfg.vae, policy=pol,
                                           attn_impl="flash"))
-    t_base = timeit(dec, params, z, label="decode (fp32 stats, production)")
-
-    real_stats = F.group_norm_stats
 
     def const_stats(p, x, *, groups=32, eps=1e-5):
         b, _, _, c = x.shape
@@ -68,20 +66,24 @@ def main():
     with mock.patch.object(F, "group_norm_stats", const_stats):
         dec2 = jax.jit(lambda p, z: vae.decode(p, z, cfg.vae, policy=pol,
                                                attn_impl="flash"))
-        t_nostats = timeit(dec2, params, z, label="decode (stats removed)")
 
-    def bf16_stats(p, x, *, groups=32, eps=1e-5):
-        a, d = real_stats(p, x.astype(jnp.bfloat16), groups=groups, eps=eps)
-        return a, d
-
-    with mock.patch.object(F, "group_norm_stats", bf16_stats):
-        dec3 = jax.jit(lambda p, z: vae.decode(p, z, cfg.vae, policy=pol,
-                                               attn_impl="flash"))
-        t_bf16 = timeit(dec3, params, z, label="decode (bf16-input stats)")
-
+    # Sequential base-then-variant timing confounds with warm-up drift
+    # (first-measured graph reads ~10-16 ms slow; an A/B/A re-check measured
+    # a "16 ms bf16-stats win" on an HLO-identical graph).  INTERLEAVE and
+    # take medians.  (A bf16-input-stats variant is pointless here: decode
+    # activations are already bf16, so the astype is a traced no-op.)
+    timeit(dec, params, z, label="warm base")
+    timeit(dec2, params, z, label="warm nostats")
+    bs, ns = [], []
+    for r in range(3):
+        bs.append(timeit(dec, params, z, label=f"base #{r}"))
+        ns.append(timeit(dec2, params, z, label=f"nostats #{r}"))
+    t_base = float(np.median(bs))
+    t_nostats = float(np.median(ns))
     print(f"\nstats ceiling: {1e3*(t_base - t_nostats):.1f} ms "
-          f"({100*(t_base-t_nostats)/t_base:.1f}% of decode); "
-          f"bf16-stats saves {1e3*(t_base - t_bf16):.1f} ms", flush=True)
+          f"({100*(t_base-t_nostats)/t_base:.1f}% of decode) — measured "
+          f"5.1 ms on 2026-08-17: producer-side GN-stats fusion is a "
+          f"closed NEGATIVE (not worth the lift)", flush=True)
 
 
 if __name__ == "__main__":

@@ -31,8 +31,8 @@ from sdmatte_tpu.configs import SDMatteConfig  # noqa: E402
 from sdmatte_tpu.core.dtypes import BF16  # noqa: E402
 from sdmatte_tpu.models import unet  # noqa: E402
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-REPS = 12
+_num_args = [a for a in sys.argv[1:] if a.isdigit()]
+B = int(_num_args[0]) if _num_args else 1
 
 
 def overhead():
@@ -46,20 +46,61 @@ def overhead():
     return float(np.median(ts))
 
 
-def timed(f, oh):
-    o = f(); jax.block_until_ready(o)
-    float(jnp.sum(jax.tree_util.tree_leaves(o)[0][..., :1, :1]))
+def timed(f, oh, reps):
+    # warm (trace+compile+execute); the remote-compile tunnel drops
+    # connections sporadically — retry with backoff before giving up
+    for attempt in range(3):
+        try:
+            float(f())
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            print(f"  [retry {attempt+1}] compile/run failed: "
+                  f"{str(e)[:120]}", flush=True)
+            time.sleep(60 * (attempt + 1))
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        o = f()
-        float(jnp.sum(jax.tree_util.tree_leaves(o)[0][..., :1, :1]))
+        float(f())
         ts.append(time.perf_counter() - t0)
-    return (float(np.median(ts)) - oh) / REPS
+    return (float(np.median(ts)) - oh) / reps
 
 
-def chain(step, x):
-    return jax.jit(lambda x: lax.fori_loop(0, REPS, lambda i, y: step(y), x))
+def make_chain(step, *shapes_dtypes):
+    """Sequentially run `step` over stacked independent inputs via lax.scan.
+
+    Measurement traps this construction avoids (each measured as >chip-peak
+    "TF/s" before the fix, see ab_unet_conv.py history):
+      * slice-consumption → slice-of-conv computes one pixel: reduce the
+        WHOLE output;
+      * LINEAR full reduce → XLA folds sum(conv(x)) into a pooled dot and
+        skips the step's final conv/linear: reduce through jnp.abs;
+      * closed-over (loop-invariant) operands → projections hoisted out of
+        the loop (e.g. cross-attn ctx K/V): EVERY input is a scanned array;
+      * identical broadcast slices still measured above-peak: slices are
+        DISTINCT random values, generated on device (no host staging).
+
+    Returns (callable, reps); reps is sized so chain compute >> the ~1 ms
+    per-call tunnel noise while the stacked inputs stay <= ~1 GB.
+    """
+    per_rep = sum(int(np.prod(s)) * jnp.dtype(d).itemsize
+                  for s, d in shapes_dtypes)
+    reps = int(min(48, max(12, (1 << 30) // max(per_rep, 1))))
+    keys = jax.random.split(jax.random.PRNGKey(0), len(shapes_dtypes))
+    stacked = tuple(
+        (jax.random.normal(k, (reps,) + s, d) * 0.1).block_until_ready()
+        if jnp.issubdtype(d, jnp.floating)
+        else jnp.ones((reps,) + s, d)
+        for k, (s, d) in zip(keys, shapes_dtypes))
+
+    def body(acc, xs):
+        o = step(*xs)
+        o = o[0] if isinstance(o, tuple) else o
+        return acc + jnp.sum(jnp.abs(o.astype(jnp.float32))), None
+
+    fj = jax.jit(lambda st: lax.scan(body, jnp.float32(0.0), st)[0])
+    return (lambda: fj(stacked)), reps
 
 
 def main():
@@ -70,9 +111,6 @@ def main():
     params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.bfloat16),
                                     params)
     rng = np.random.default_rng(0)
-    emb = jnp.asarray(rng.standard_normal((B, 1280)), jnp.bfloat16)
-    ctx = jnp.asarray(rng.standard_normal((B, 16384, 1024)) * 0.1,
-                      jnp.bfloat16)
     oh = overhead()
     print(f"overhead {oh*1e3:.1f} ms", flush=True)
 
@@ -100,20 +138,12 @@ def main():
         for k in path.split("."):
             node = node[k]
         cout = node["conv2"]["kernel"].shape[-1]
-        x = jnp.asarray(rng.standard_normal((B, s, s, cin)) * 0.1,
-                        jnp.bfloat16)
 
-        if cin == cout:
-            def step(y, node=node):
-                return unet._resnet(node, y, emb, cfg, pol).astype(jnp.bfloat16)
-            t = timed(lambda: chain(step, x)(x), oh)
-        else:
-            def one(y, node=node):
-                return unet._resnet(node, y, emb, cfg, pol)
-            f = jax.jit(one)
-            t0 = timed(lambda: f(x), 0.0) * REPS  # single call incl overhead
-            t = max(t0 - oh, 1e-5) / 1.0 / REPS * REPS  # report raw
-            t = t0 - oh
+        def step(y, e, node=node):
+            return unet._resnet(node, y, e, cfg, pol)
+        f, reps = make_chain(step, ((B, s, s, cin), jnp.bfloat16),
+                             ((B, 1280), jnp.bfloat16))
+        t = timed(f, oh, reps)
         ms = t * 1e3
         total += ms * count
         fl = 2 * B * s * s * 9 * (cin * cout + cout * cout) + \
@@ -138,14 +168,15 @@ def main():
             node = node[k]
         bias = ((1.0 - mask.reshape(B, 128, 128)[:, ::128 // s, ::128 // s]
                  .reshape(B, s * s)) * -10000.0)
-        x = jnp.asarray(rng.standard_normal((B, s, s, c)) * 0.1, jnp.bfloat16)
 
-        def step(y, node=node, heads=heads, bias=bias):
-            return unet._transformer(node, y, ctx, heads=heads,
+        def step(y, cx, node=node, heads=heads, bias=bias):
+            return unet._transformer(node, y, cx, heads=heads,
                                      bias_self=bias, bias_cross=None,
                                      cfg=cfg, policy=pol,
-                                     attn_impl="flash").astype(jnp.bfloat16)
-        t = timed(lambda: chain(step, x)(x), oh)
+                                     attn_impl="flash")
+        f, reps = make_chain(step, ((B, s, s, c), jnp.bfloat16),
+                             ((B, 16384, 1024), jnp.bfloat16))
+        t = timed(f, oh, reps)
         ms = t * 1e3
         total += ms * count
         lq = s * s
@@ -156,9 +187,60 @@ def main():
         print(f"txfm   {path:28s} {s:4d}^2 {c:4d}ch h{heads:2d} x{count}: "
               f"{ms:7.2f} ms  {fl/(t+1e-12)/1e12:5.1f} TF/s", flush=True)
 
-    # ---- samplers + head ---------------------------------------------------
-    print(f"\ncomponent-sum: {total:.1f} ms  (whole-unet measured separately "
-          f"by stage_profile.py; the gap = scheduling/boundary cost)",
+    # ---- conv_in / samplers / head -----------------------------------------
+    from sdmatte_tpu.core import nn as F
+    from sdmatte_tpu.core.imaging import resize_nearest
+
+    misc_runs = []
+    misc_runs.append(("conv_in", 128, 8,
+                      lambda y: F.conv2d(params["conv_in"], y, policy=pol)))
+    for i, (s, c) in enumerate([(128, 320), (64, 640), (32, 1280)]):
+        p = params["down_blocks"][str(i)]["downsamplers"]["0"]["conv"]
+        misc_runs.append((f"downsampler.{i}", s, c,
+                          lambda y, p=p: F.conv2d(p, y, stride=2, policy=pol)))
+    for i, (s, c) in enumerate([(16, 1280), (32, 1280), (64, 640)]):
+        p = params["up_blocks"][str(i)]["upsamplers"]["0"]["conv"]
+        misc_runs.append((f"upsampler.{i}", s, c,
+                          lambda y, s=s, p=p: F.conv2d(
+                              p, resize_nearest(y, 2 * s, 2 * s), policy=pol)))
+
+    def head(y):
+        h = F.group_norm(params["conv_norm_out"], y,
+                         groups=cfg.norm_num_groups, eps=cfg.norm_eps)
+        return F.conv2d(params["conv_out"], F.silu(h), policy=pol)
+
+    misc_runs.append(("head(norm+silu+conv_out)", 128, 320, head))
+    for name, s, c, step in misc_runs:
+        f, reps = make_chain(step, ((B, s, s, c), jnp.bfloat16))
+        t = timed(f, oh, reps)
+        ms = t * 1e3
+        total += ms
+        print(f"misc   {name:28s} {s:4d}^2 {c:4d}ch    x1: {ms:7.2f} ms",
+              flush=True)
+
+    # ---- whole U-Net, same scan methodology --------------------------------
+    # OPT-IN (argv flag "whole"): scanning the entire U-Net overloads the
+    # remote-compile tunnel (25 min then broken pipe, 2026-08-17 run).  The
+    # cross-check is done instead against stage_profile.py's single-call
+    # measurement minus the dispatch overhead printed above (~140 - ~34
+    # = ~105 ms), which agrees with the component sum within noise.
+    if "whole" in sys.argv[1:]:
+        trans = jnp.ones((B,), jnp.float32)
+        coords = jnp.asarray(rng.standard_normal((B, 1280)), jnp.bfloat16)
+
+        def whole(smp, cx, m):
+            return unet.apply(params, cfg, sample=smp, trans=trans,
+                              encoder_hidden_states=cx,
+                              coords_embed={"bbox_mask_coords": coords},
+                              attention_mask=m, policy=pol, attn_impl="flash")
+
+        f, reps = make_chain(whole, ((B, 128, 128, 8), jnp.bfloat16),
+                             ((B, 16384, 1024), jnp.bfloat16),
+                             ((B, 16384), jnp.float32))
+        t = timed(f, oh, reps)
+        print(f"\nwhole-unet (scan chain): {t*1e3:.1f} ms", flush=True)
+    print(f"\ncomponent-sum: {total:.1f} ms  (cross-check: stage_profile.py "
+          f"whole-unet single-call minus the ~34 ms dispatch overhead)",
           flush=True)
 
 

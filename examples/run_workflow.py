@@ -4,10 +4,15 @@ through the real ``SDMatteApply`` node, outside a ComfyUI install.
 The reference ships a production workflow JSON but executing it requires a
 full ComfyUI host (graph executor + builtin node packs).  This runner is the
 minimal host: it parses the UI-format graph (nodes/links arrays), implements
-the builtin nodes the example graph uses (LoadImage, LoadImageMask,
-MaskToImage, PreviewImage, SaveImage), topologically executes, and drives
-our node exactly the way ComfyUI's executor would — torch tensors in, torch
-tensors out, widget values merged with link inputs in INPUT_TYPES order.
+the builtin nodes the example graphs use (LoadImage, LoadImageMask,
+MaskToImage, PreviewImage, SaveImage, MaskPreview+, plus a no-op Bookmark
+and a deterministic SegmentAnything stand-in), topologically executes, and
+drives our node exactly the way ComfyUI's executor would — torch tensors
+in, torch tensors out, widget values merged with link inputs in INPUT_TYPES
+order.  It executes both the bundled example graph and the REFERENCE
+repo's production workflow (example_workflow/超强抠图遮罩细化工作流.json:
+4x SDMatteApply + SegmentAnything trimaps + 8 mask previews — see
+tests/test_reference_workflow.py).
 
 Usage:
   python examples/run_workflow.py examples/workflow_sdmatte_tpu.json \
@@ -33,17 +38,41 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # --------------------------------------------------------- builtin nodes ---
 
 class LoadImage:
-    """ComfyUI builtin: filename widget -> (IMAGE (B,H,W,3) [0,1], MASK)."""
+    """ComfyUI builtin: filename widget -> (IMAGE (B,H,W,3) [0,1], MASK).
+
+    Workflow JSONs exported from a live ComfyUI reference files in that
+    install's ``input/`` directory (hashed upload names) which are not
+    shipped alongside the JSON.  When the named file is missing, fall back
+    round-robin to the images that ARE shipped next to the workflow — this
+    is what lets the reference repo's production workflow run against its
+    own checked-in test photos."""
 
     WIDGETS = ("image", "upload")
 
     def __init__(self, asset_dir):
         self.asset_dir = asset_dir
+        self._fallback_idx = 0
+
+    def _resolve(self, name):
+        path = os.path.join(self.asset_dir, name)
+        if os.path.exists(path):
+            return path
+        pool = sorted(
+            f for f in os.listdir(self.asset_dir)
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp")))
+        if not pool:
+            raise FileNotFoundError(f"{path} (and no fallback images in "
+                                    f"{self.asset_dir})")
+        sub = pool[self._fallback_idx % len(pool)]
+        self._fallback_idx += 1
+        print(f"  [LoadImage] '{name}' not found; substituting shipped "
+              f"asset '{sub}'")
+        return os.path.join(self.asset_dir, sub)
 
     def run(self, widgets, inputs):
         import torch
         from PIL import Image
-        path = os.path.join(self.asset_dir, widgets[0])
+        path = self._resolve(widgets[0])
         arr = np.asarray(Image.open(path).convert("RGBA"), np.float32) / 255.0
         img = torch.from_numpy(arr[None, ..., :3])
         mask = torch.from_numpy(1.0 - arr[None, ..., 3])
@@ -94,7 +123,9 @@ class _ImageWriter:
         from PIL import Image
         prefix = widgets[0] if widgets else self.default_prefix
         self.calls += 1
-        (images,) = inputs
+        # linkless extras (e.g. SaveImage's optional filename_prefix input)
+        # arrive as None placeholders — the image tensor is the first real one
+        images = next(i for i in inputs if i is not None)
         arr = np.clip(np.asarray(images.detach().cpu().numpy()
                                  if hasattr(images, "detach") else images),
                       0, 1)
@@ -117,6 +148,80 @@ def PreviewImage(out_dir):
 
 def SaveImage(out_dir):
     return _ImageWriter(out_dir, "output")
+
+
+def MaskPreview(out_dir):
+    """ComfyUI_essentials ``MaskPreview+``: a MASK sink — same writer
+    (its run already lifts (B,H,W) masks to grayscale RGB)."""
+    return _ImageWriter(out_dir, "mask_preview")
+
+
+class Bookmark:
+    """rgthree ``Bookmark``: pure UI affordance — no inputs, no outputs."""
+
+    WIDGETS = ()
+
+    def run(self, widgets, inputs):
+        return ()
+
+
+class SegmentAnythingStandin:
+    """Deterministic stand-in for ``LayerMask: SegmentAnythingUltra V2``.
+
+    The real node runs SAM + GroundingDINO (external multi-GB models from a
+    third-party pack) to produce a subject matte the reference workflow
+    feeds to SDMatteApply as its trimap.  For hosts without that pack, this
+    produces a deterministic coarse subject mask instead: Otsu threshold on
+    luminance, keep the side containing the image center (the 'subject'
+    prompt), then soften the boundary with box blurs so a fg/unknown/bg
+    band exists — the shape SDMatte's trimap-conditioning consumes.
+    Outputs (image, mask) like the real node.
+    """
+
+    WIDGETS = ()
+
+    @staticmethod
+    def _otsu(lum):
+        hist, edges = np.histogram(lum, bins=256, range=(0.0, 1.0))
+        p = hist.astype(np.float64) / max(hist.sum(), 1)
+        w = np.cumsum(p)
+        mu = np.cumsum(p * np.arange(256))
+        mu_t = mu[-1]
+        denom = w * (1.0 - w)
+        denom[denom == 0] = np.nan
+        sigma_b = (mu_t * w - mu) ** 2 / denom
+        k = int(np.nanargmax(sigma_b))
+        return (k + 0.5) / 256.0
+
+    @staticmethod
+    def _box_blur(m, r):
+        """(2r+1)-tap box filter per axis via prefix sums, edge-padded."""
+        if r < 1:
+            return m
+
+        def one_axis(a):
+            pad = np.pad(a, ((r, r), (0, 0)), mode="edge")
+            c = np.vstack([np.zeros((1, pad.shape[1]), pad.dtype),
+                           np.cumsum(pad, axis=0)])
+            return (c[2 * r + 1:] - c[:-(2 * r + 1)]) / (2 * r + 1)
+
+        return one_axis(one_axis(m).T).T
+
+    def run(self, widgets, inputs):
+        import torch
+        img = inputs[0]  # (B,H,W,3) torch
+        arr = img.detach().cpu().numpy()[0]
+        lum = arr @ np.asarray([0.299, 0.587, 0.114], np.float32)
+        fg = lum > self._otsu(lum)
+        h, w = fg.shape
+        if not fg[h // 2, w // 2]:          # subject = side containing center
+            fg = ~fg
+        m = fg.astype(np.float32)
+        r = max(min(h, w) // 64, 1)
+        for _ in range(2):
+            m = self._box_blur(m, r)
+        m = np.clip(m[:h, :w], 0.0, 1.0).astype(np.float32)
+        return img, torch.from_numpy(m[None])
 
 
 # ------------------------------------------------------------- executor ---
@@ -164,12 +269,17 @@ def execute_workflow(graph: dict, registry: dict, *, verbose: bool = True):
             kwargs = {}
             wi = 0
             widget_names = _widget_names(type(impl))
-            linked = [i["name"] for i in node.get("inputs", [])]
+            # newer ComfyUI exports list widget-backed inputs in `inputs`
+            # too (with "link": null) — only an ACTUAL link binds a value;
+            # everything else falls through to positional widget binding
+            input_names = [i["name"] for i in node.get("inputs", [])]
+            linked = {i["name"] for i in node.get("inputs", [])
+                      if i.get("link") is not None}
             schema = type(impl).INPUT_TYPES()
             for section in ("required", "optional"):
                 for name in schema.get(section, {}):
                     if name in linked:
-                        kwargs[name] = link_inputs[linked.index(name)]
+                        kwargs[name] = link_inputs[input_names.index(name)]
                     elif name in widget_names and wi < len(widgets):
                         kwargs[name] = widgets[wi]
                         wi += 1
@@ -221,6 +331,9 @@ def main(argv=None):
         "MaskToImage": MaskToImage(),
         "PreviewImage": PreviewImage(args.out_dir),
         "SaveImage": SaveImage(args.out_dir),
+        "MaskPreview+": MaskPreview(args.out_dir),
+        "Bookmark (rgthree)": Bookmark(),
+        "LayerMask: SegmentAnythingUltra V2": SegmentAnythingStandin(),
         "SDMatteApply": node_mod.SDMatteApply(),
     }
     execute_workflow(graph, registry)

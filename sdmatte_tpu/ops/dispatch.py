@@ -65,18 +65,21 @@ PALLAS_CONV_WINS: dict[tuple[int, int, int, int],
     # mixed-channel pairs (measured as ci->co->ci chains)
     (2, 512, 128, 256): (1.13, 8, 128, False, False, 0),
     (2, 512, 256, 128): (1.13, 8, 128, False, False, 0),
-    # encoder shapes of the other four inference sizes (512/640/768/896px,
-    # resnet-pattern chains, benchmarks/fused_tune.py 2026-08-17): smaller
-    # spatial -> the fp32 affine window temp fits -> full gn(+res) fusion
-    # wins big (161 TF/s at 512^2x128)
-    (2, 512, 128, 128): (2.51, 8, 128, True, True, 0),
-    (2, 256, 256, 256): (1.65, 8, 256, True, False, 0),
-    (2, 640, 128, 128): (1.59, 8, 128, True, True, 0),
-    (2, 320, 256, 256): (2.39, 8, 256, True, True, 0),
-    (2, 768, 128, 128): (1.61, 8, 128, True, True, 0),
-    (2, 384, 256, 256): (1.36, 8, 256, True, False, 0),
-    (2, 896, 128, 128): (1.47, 8, 128, True, False, 0),
-    (2, 448, 256, 256): (1.26, 8, 128, False, False, 0),
+    # encoder shapes of the other four inference sizes (512/640/768/896px),
+    # RE-TUNED on the v5 borderless-DMA kernel (benchmarks/fused_tune.py
+    # 2026-08-17 — kernel changes shift the scoped-VMEM envelope: the
+    # v3-era (2,384,·) fgn/coN=256 entry OOM'd scoped VMEM by 88 KB under
+    # v5 and broke the 768px compile).  Under v5 the 128-ch shapes keep
+    # gn(+res) fusion with better speedups; the 256-ch shapes' fusion
+    # configs exceed scoped VMEM, so they dispatch the bare conv.
+    (2, 512, 128, 128): (2.44, 8, 128, True, True, 0),
+    (2, 256, 256, 256): (2.24, 8, 256, False, False, 0),
+    (2, 640, 128, 128): (2.30, 8, 128, True, True, 0),
+    (2, 320, 256, 256): (1.83, 8, 128, False, False, 0),
+    (2, 768, 128, 128): (2.17, 8, 128, True, True, 0),
+    (2, 384, 256, 256): (1.76, 8, 256, False, False, 0),
+    (2, 896, 128, 128): (1.85, 8, 128, True, False, 0),
+    (2, 448, 256, 256): (1.53, 8, 128, False, False, 0),
 }
 
 _MIN_SPEEDUP = 1.05  # dispatch only on a clear win
