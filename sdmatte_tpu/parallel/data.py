@@ -107,17 +107,18 @@ def prefetch_batches(sampler: CompositeSampler, batch_size: int, *,
                      steps: int, mesh=None, depth: int = 2) -> Iterator[dict]:
     """Generator of device-resident batches, composited one step ahead on a
     background thread.  With a mesh, leaves are device_put with the batch
-    axis sharded over 'data' (the same layout make_sharded_train_step
-    constrains to, so no resharding happens at step time)."""
+    axis sharded over the mesh's data axes (the same layout
+    make_sharded_train_step constrains to, so no resharding happens at step
+    time)."""
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding
+    from .mesh import data_spec
 
     def put(batch):
         if mesh is None:
             return {k: jax.device_put(v) for k, v in batch.items()}
-        return {k: jax.device_put(v, NamedSharding(
-            mesh, P("data", *([None] * (v.ndim - 1)))))
-            for k, v in batch.items()}
+        return {k: jax.device_put(v, NamedSharding(mesh, data_spec(mesh, v.ndim)))
+                for k, v in batch.items()}
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()

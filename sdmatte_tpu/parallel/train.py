@@ -125,13 +125,15 @@ def make_sharded_train_step(mesh, cfg: SDMatteConfig, tx, *,
                             policy: Policy = FP32, attn_impl: str = "xla",
                             loss_cfg: LossConfig = LossConfig()):
     """jit the step with explicit in/out shardings over the mesh: params and
-    optimizer state replicated, batch sharded on 'data'."""
+    optimizer state replicated, batch sharded over the mesh's data axes
+    (1-D 'data' or hybrid ('dcn','data') — mesh.data_spec)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
+    from .mesh import data_spec
 
     repl = NamedSharding(mesh, P())
 
     def batch_spec(leaf):
-        return NamedSharding(mesh, P("data", *([None] * (leaf.ndim - 1))))
+        return NamedSharding(mesh, data_spec(mesh, leaf.ndim))
 
     step = functools.partial(train_step, cfg=cfg, tx=tx, policy=policy,
                              attn_impl=attn_impl, loss_cfg=loss_cfg)

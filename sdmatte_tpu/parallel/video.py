@@ -16,7 +16,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..configs import SDMatteConfig
 from ..core.dtypes import Policy, FP32
 from ..models import sdmatte
-from .mesh import make_mesh
+from .mesh import make_mesh, data_spec
 
 
 def matte_video(params, cfg: SDMatteConfig, frames, trimaps, *, mesh=None,
@@ -44,7 +44,7 @@ def matte_video(params, cfg: SDMatteConfig, frames, trimaps, *, mesh=None,
         return jax.jit(fwd)(params, data)
 
     repl = NamedSharding(mesh, P())
-    shard = lambda leaf: NamedSharding(mesh, P("data", *([None] * (leaf.ndim - 1))))  # noqa: E731
+    shard = lambda leaf: NamedSharding(mesh, data_spec(mesh, leaf.ndim))  # noqa: E731
     data = {k: jax.device_put(v, shard(v) if v.shape[0] == t else repl)
             for k, v in data.items()}
     params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)

@@ -183,3 +183,80 @@ def test_uncertainty_weight_band():
     assert w[0, 16, 16, 0] == 1.0
     assert w[0, 16, 19, 0] == 1.0     # inside the 7-wide dilation
     assert w[0, 16, 25, 0] == 0.0     # outside
+
+
+# ---- hybrid (dcn, data) multi-host mesh --------------------------------
+
+
+def test_hybrid_mesh_shape_and_spec():
+    from sdmatte_tpu.parallel.mesh import make_hybrid_mesh, data_spec, data_axes
+    mesh = make_hybrid_mesh(n_hosts=2, devices_per_host=4)
+    assert mesh.axis_names == ("dcn", "data")
+    assert mesh.devices.shape == (2, 4)
+    assert data_axes(mesh) == ("dcn", "data")
+    spec = data_spec(mesh, 4)
+    assert spec == jax.sharding.PartitionSpec(("dcn", "data"), None, None, None)
+    with pytest.raises(ValueError):
+        make_hybrid_mesh(n_hosts=4, devices_per_host=4)  # 16 > 8 devices
+
+
+def test_hybrid_video_matches_single_device(tiny):
+    """Video sharding over the 2x4 hybrid mesh is numerically identical to
+    the single-device run and shards one frame per device across BOTH axes
+    (the DCN hop only carries the initial scatter/final gather)."""
+    from sdmatte_tpu.parallel.mesh import make_hybrid_mesh
+    cfg, params = tiny
+    t, s = 8, 64
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(rng.uniform(-1, 1, (t, s, s, 3)), jnp.float32)
+    tris = jnp.asarray(rng.uniform(-1, 1, (t, s, s, 1)), jnp.float32)
+    mesh = make_hybrid_mesh(n_hosts=2, devices_per_host=4)
+    a_hybrid = matte_video(params, cfg, frames, tris, mesh=mesh,
+                           attn_impl="xla")
+    shard_shapes = {tuple(sh.data.shape) for sh in a_hybrid.addressable_shards}
+    assert shard_shapes == {(1, s, s, 1)}
+    a_single = matte_video(params, cfg, frames, tris, mesh=None,
+                           attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(a_hybrid), np.asarray(a_single),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_hybrid_train_step_matches_1d_mesh(tiny):
+    """One DP step over the hybrid mesh produces the same loss and params as
+    over the flat 8-device mesh — the hierarchical (ICI-inner, DCN-outer)
+    all-reduce is a pure re-bracketing of the same gradient sum."""
+    from sdmatte_tpu.parallel.mesh import make_hybrid_mesh
+    cfg, params = tiny
+    b, s = 8, 64
+    rng = np.random.default_rng(7)
+    batch = {
+        "image": jnp.asarray(rng.uniform(-1, 1, (b, s, s, 3)), jnp.float32),
+        "trimap": jnp.asarray(rng.uniform(-1, 1, (b, s, s, 1)), jnp.float32),
+        "trimap_coords": jnp.tile(jnp.asarray([[0.0, 0.0, 1.0, 1.0]],
+                                              jnp.float32), (b, 1)),
+        "is_trans": jnp.zeros((b,), jnp.float32),
+        "alpha_gt": jnp.asarray(rng.uniform(0, 1, (b, s, s, 1)), jnp.float32),
+    }
+    results = {}
+    for name, mesh in (("flat", make_mesh(8)),
+                       ("hybrid", make_hybrid_mesh(2, 4))):
+        tx, opt_state = ptrain.init_train_state(params, learning_rate=1e-3)
+        step = ptrain.make_sharded_train_step(mesh, cfg, tx)
+        new_params, _, loss = step(replicate(params, mesh),
+                                   replicate(opt_state, mesh),
+                                   shard_batch(batch, mesh))
+        results[name] = (float(loss),
+                         np.asarray(new_params["unet"]["conv_in"]["kernel"]))
+    np.testing.assert_allclose(results["flat"][0], results["hybrid"][0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(results["flat"][1], results["hybrid"][1],
+                               atol=1e-6)
+
+
+def test_distributed_init_noop_without_fleet(monkeypatch):
+    """Single-host callers can invoke distributed_init unconditionally."""
+    from sdmatte_tpu.parallel.mesh import distributed_init
+    for var in ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID",
+                "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert distributed_init() is False
