@@ -57,7 +57,8 @@ def main():
     p50_1024 = bench(1024, 1)
     # throughput: sweep batch sizes — large batches can exceed HBM and spill
     best_tp, best_batch, per_batch = 1.0 / p50_1024, 1, {}
-    for batch in (4, 8):  # b>=12 exceeds 16G HBM at 1024px (measured)
+    for batch in (4, 8):  # b>=9 exceeds 16G HBM at 1024px (ab_b10.py measured
+        #                   b=9/10 OOM unchunked; chunked b=12/16 is 2.2/s)
         try:
             t = bench(1024, batch, iters=3)
         except Exception as e:

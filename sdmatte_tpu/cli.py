@@ -5,8 +5,18 @@ Usage:
         [--ckpt SDMatte.safetensors] [--size 1024] [--mode alpha_only]
         [--refine/--no-refine] [--tc 0.8] [--cpu] [--random-weights]
 
+Directory mode — batch a whole folder through the device-side batching path
+(same-shape inputs are stacked up to ``--batch`` per pipeline call, so the
+compiled graph is reused and the chip sees efficient batched shapes):
+
+    python -m sdmatte_tpu.cli --image imgs/ --trimap tris/ --out alphas/ \
+        [--matted-out matted/] [--batch 8]
+
+Images and trimaps pair by filename stem (imgs/cat.png <-> tris/cat.png).
+
 ``--random-weights`` builds the model without a checkpoint (smoke/benchmark
-runs in weight-less environments).
+runs in weight-less environments); ``--tiny`` additionally shrinks the model
+to the CI config (smoke-testing the full CLI path on CPU in seconds).
 """
 
 from __future__ import annotations
@@ -40,12 +50,87 @@ def _save_image(path: str, arr: np.ndarray):
     Image.fromarray((a * 255.0 + 0.5).astype(np.uint8).squeeze()).save(path)
 
 
+_IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+
+
+def _pair_directory(image_dir: str, trimap_dir: str):
+    """Pair image/trimap files by stem. Returns [(stem, img_path, tri_path)]."""
+    import os
+    tris = {}
+    for f in sorted(os.listdir(trimap_dir)):
+        stem, ext = os.path.splitext(f)
+        if ext.lower() in _IMAGE_EXTS:
+            tris.setdefault(stem, os.path.join(trimap_dir, f))
+    pairs, missing = [], []
+    for f in sorted(os.listdir(image_dir)):
+        stem, ext = os.path.splitext(f)
+        if ext.lower() not in _IMAGE_EXTS:
+            continue
+        if stem in tris:
+            pairs.append((stem, os.path.join(image_dir, f), tris[stem]))
+        else:
+            missing.append(f)
+    if missing:
+        print(f"[cli] skipping {len(missing)} image(s) without a matching "
+              f"trimap: {', '.join(missing[:5])}"
+              f"{' ...' if len(missing) > 5 else ''}", file=sys.stderr)
+    return pairs
+
+
+def _run_directory(pipe, args, opts, coords):
+    """Batch a directory: group same-shape pairs, stack up to --batch."""
+    import os
+    pairs = _pair_directory(args.image, args.trimap)
+    if not pairs:
+        print("[cli] no image/trimap pairs found", file=sys.stderr)
+        return 1
+    os.makedirs(args.out, exist_ok=True)
+    if args.matted_out:
+        os.makedirs(args.matted_out, exist_ok=True)
+
+    groups: dict = {}   # (img_shape, tri_shape) -> [(stem, img, tri)]
+    for stem, ipath, tpath in pairs:
+        img = _load_image(ipath, 3)
+        tri = _load_image(tpath, 1)[..., 0]
+        groups.setdefault((img.shape, tri.shape), []).append((stem, img, tri))
+
+    n_done = 0
+    t0 = time.time()
+    for (ishape, tshape), items in groups.items():
+        for i in range(0, len(items), args.batch):
+            chunk = items[i:i + args.batch]
+            stems = [s for s, _, _ in chunk]
+            imgs = np.stack([im for _, im, _ in chunk])
+            tris = np.stack([tr for _, _, tr in chunk])
+            c = np.repeat(coords, len(chunk), axis=0) if coords is not None \
+                else None
+            alpha, matted = pipe(imgs, tris, options=opts, coords=c)
+            alpha = np.asarray(alpha)
+            matted = np.asarray(matted) if matted is not None else None
+            for j, stem in enumerate(stems):
+                _save_image(os.path.join(args.out, stem + ".png"), alpha[j])
+                if args.matted_out and matted is not None:
+                    _save_image(os.path.join(args.matted_out, stem + ".png"),
+                                matted[j])
+            n_done += len(chunk)
+            print(f"[cli] {n_done}/{len(pairs)} done "
+                  f"({(time.time() - t0) / n_done:.2f}s/image)",
+                  file=sys.stderr)
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="SDMatte TPU-native matting CLI")
-    ap.add_argument("--image", required=True)
-    ap.add_argument("--trimap", required=True)
-    ap.add_argument("--out", required=True, help="alpha PNG output path")
-    ap.add_argument("--matted-out", default=None, help="matted image PNG path")
+    ap.add_argument("--image", required=True,
+                    help="input image PNG, or a directory of images")
+    ap.add_argument("--trimap", required=True,
+                    help="trimap PNG, or a directory (pairs by stem)")
+    ap.add_argument("--out", required=True,
+                    help="alpha PNG output path (directory in batch mode)")
+    ap.add_argument("--matted-out", default=None,
+                    help="matted image PNG path (directory in batch mode)")
+    ap.add_argument("--batch", type=int, default=4,
+                    help="directory mode: images per pipeline call")
     ap.add_argument("--ckpt", default="SDMatte.safetensors",
                     help="checkpoint name or path")
     ap.add_argument("--size", type=int, default=1024,
@@ -68,26 +153,34 @@ def main(argv=None):
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--random-weights", action="store_true",
                     help="skip checkpoint loading (smoke runs)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="CI-size model, random weights (smoke-tests the "
+                         "full CLI path in seconds)")
     args = ap.parse_args(argv)
 
+    import os
     from .pipeline import MattingPipeline, PipelineOptions
     from .configs import SDMatteConfig
     from .core.dtypes import BF16, FP32
 
-    image = _load_image(args.image, 3)
-    trimap = _load_image(args.trimap, 1)[..., 0]
+    dir_mode = os.path.isdir(args.image)
+    if dir_mode != os.path.isdir(args.trimap):
+        ap.error("--image and --trimap must both be files or both be "
+                 "directories")
+    if not dir_mode:
+        image = _load_image(args.image, 3)
+        trimap = _load_image(args.trimap, 1)[..., 0]
 
     t0 = time.time()
     policy = FP32 if (args.cpu or args.fp32) else BF16
-    if args.random_weights:
+    if args.random_weights or args.tiny:
         from .models import sdmatte
-        cfg = SDMatteConfig()
+        cfg = SDMatteConfig.tiny() if args.tiny else SDMatteConfig()
         params = sdmatte.init(cfg, seed=0)
         pipe = MattingPipeline(params, cfg, policy=policy,
                                attn_impl="xla" if args.cpu else "auto")
     else:
         from .api.node import get_pipeline
-        import os
         if os.path.isfile(args.ckpt):
             from .api import comfy_shim
             comfy_shim.add_model_folder_path(
@@ -106,6 +199,8 @@ def main(argv=None):
     if args.coords:
         coords = np.asarray([[float(v) for v in args.coords.split(",")]],
                             np.float32)
+    if dir_mode:
+        return _run_directory(pipe, args, opts, coords)
     t0 = time.time()
     alpha, matted = pipe(image, trimap, options=opts, coords=coords)
     import jax

@@ -1,0 +1,58 @@
+"""CLI surface tests (tiny model, CPU): single-file and directory-batch modes."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sdmatte_tpu import cli
+
+
+def _write_pair(img_path, tri_path, h=48, w=64, seed=0):
+    rng = np.random.default_rng(seed)
+    Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                    ).save(img_path)
+    tri = np.zeros((h, w), np.uint8)
+    tri[h // 4: h // 2, w // 4: w // 2] = 128
+    tri[h // 2:, w // 2:] = 255
+    Image.fromarray(tri).save(tri_path)
+
+
+def test_cli_single_image(tmp_path):
+    img, tri = str(tmp_path / "in.png"), str(tmp_path / "tri.png")
+    out, matted = str(tmp_path / "alpha.png"), str(tmp_path / "matted.png")
+    _write_pair(img, tri)
+    rc = cli.main(["--image", img, "--trimap", tri, "--out", out,
+                   "--matted-out", matted, "--mode", "matted_rgba",
+                   "--size", "512", "--tiny", "--cpu"])
+    assert rc == 0
+    alpha = np.asarray(Image.open(out))
+    assert alpha.shape == (48, 64)          # back at the original resolution
+    m = np.asarray(Image.open(matted))
+    assert m.shape == (48, 64, 4)           # rgba composite
+
+
+def test_cli_directory_batch(tmp_path):
+    imgs, tris = tmp_path / "imgs", tmp_path / "tris"
+    outs, matteds = tmp_path / "alphas", tmp_path / "matted"
+    imgs.mkdir(), tris.mkdir()
+    for i in range(3):                       # one same-shape group
+        _write_pair(str(imgs / f"a{i}.png"), str(tris / f"a{i}.png"), seed=i)
+    _write_pair(str(imgs / "wide.png"), str(tris / "wide.png"),
+                h=32, w=80, seed=9)          # second shape group
+    _write_pair(str(imgs / "orphan.png"), str(tmp_path / "unused.png"))
+    rc = cli.main(["--image", str(imgs), "--trimap", str(tris),
+                   "--out", str(outs), "--matted-out", str(matteds),
+                   "--size", "512", "--batch", "2", "--tiny", "--cpu"])
+    assert rc == 0
+    got = sorted(p.name for p in outs.iterdir())
+    assert got == ["a0.png", "a1.png", "a2.png", "wide.png"]  # orphan skipped
+    assert np.asarray(Image.open(outs / "wide.png")).shape == (32, 80)
+    assert sorted(p.name for p in matteds.iterdir()) == got
+
+
+def test_cli_mixed_file_dir_errors(tmp_path):
+    img, tri = str(tmp_path / "in.png"), str(tmp_path / "tri.png")
+    _write_pair(img, tri)
+    with pytest.raises(SystemExit):
+        cli.main(["--image", str(tmp_path), "--trimap", tri,
+                  "--out", str(tmp_path / "o.png"), "--tiny", "--cpu"])
