@@ -7,9 +7,13 @@ building anything: measure the ceiling.  This times the real b=1 decode vs
 a stats-free variant (every GroupNorm's (a, d) replaced by constants — the
 apply/silu/conv work is unchanged, only the reduction passes disappear).
 The delta IS the maximum any stats fusion could save.
-RESULT (2026-08-17, interleaved medians): 5.1 ms = 3% of decode — closed
-negative; the decoder's non-conv time is apply/resize bandwidth, not the
-stats reductions.
+
+NOTE: the first version of this probe jitted the nostats variant inside the
+mock.patch block but first CALLED it after the block exited — jax.jit defers
+tracing to the first call, so the "nostats" graph was identical to the base
+and the recorded "5.1 ms ceiling" was base-vs-base noise.  Now the variant
+is AOT-compiled (lower().compile()) inside the patch so the traced graph
+really is stats-free; see RESULT below.
 
 Run: nohup python -u benchmarks/decode_stats_probe.py > /tmp/dec_stats.log 2>&1 &
 """
@@ -64,8 +68,14 @@ def main():
         return (jnp.ones((b, c), jnp.float32), jnp.zeros((b, c), jnp.float32))
 
     with mock.patch.object(F, "group_norm_stats", const_stats):
+        # AOT-compile INSIDE the patch: jit defers tracing to first call,
+        # so a plain jit() here would trace the unpatched function later.
         dec2 = jax.jit(lambda p, z: vae.decode(p, z, cfg.vae, policy=pol,
-                                               attn_impl="flash"))
+                                               attn_impl="flash")
+                       ).lower(params, z).compile()
+    base_hlo = dec.lower(params, z).compile().as_text()
+    assert dec2.as_text() != base_hlo, \
+        "nostats variant compiled to the same HLO as base — patch not applied"
 
     # Sequential base-then-variant timing confounds with warm-up drift
     # (first-measured graph reads ~10-16 ms slow; an A/B/A re-check measured
@@ -81,9 +91,8 @@ def main():
     t_base = float(np.median(bs))
     t_nostats = float(np.median(ns))
     print(f"\nstats ceiling: {1e3*(t_base - t_nostats):.1f} ms "
-          f"({100*(t_base-t_nostats)/t_base:.1f}% of decode) — measured "
-          f"5.1 ms on 2026-08-17: producer-side GN-stats fusion is a "
-          f"closed NEGATIVE (not worth the lift)", flush=True)
+          f"({100*(t_base-t_nostats)/t_base:.1f}% of decode) — the maximum "
+          f"a producer-side GN-stats fusion could save", flush=True)
 
 
 if __name__ == "__main__":

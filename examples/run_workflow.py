@@ -280,6 +280,11 @@ def execute_workflow(graph: dict, registry: dict, *, verbose: bool = True):
                 for name in schema.get(section, {}):
                     if name in linked:
                         kwargs[name] = link_inputs[input_names.index(name)]
+                        # a widget converted to a link input still serializes
+                        # its (stale) widgets_values slot — consume it so the
+                        # remaining positional bindings stay aligned
+                        if name in widget_names:
+                            wi += 1
                     elif name in widget_names and wi < len(widgets):
                         kwargs[name] = widgets[wi]
                         wi += 1

@@ -245,7 +245,7 @@ class MicroBatcher:
                 raise
 
 
-VALID_MODES = ("alpha_only", "matted_rgba", "matted_rgb", "alpha_blend")
+from ..pipeline.postprocess import OUTPUT_MODES as VALID_MODES
 MAX_IMAGE_SIDE = 8192          # reject absurd decode bombs up front
 MAX_BODY_BYTES = 128 << 20     # bound request reads (128 MB of JSON+base64)
 

@@ -88,20 +88,23 @@ def _run_directory(pipe, args, opts, coords):
     if args.matted_out:
         os.makedirs(args.matted_out, exist_ok=True)
 
-    groups: dict = {}   # (img_shape, tri_shape) -> [(stem, img, tri)]
+    # group by header-declared size (no pixel decode) so a large folder
+    # never holds more than one --batch chunk of float32 pixels in RAM
+    from PIL import Image
+    groups: dict = {}   # (img_WH, tri_WH) -> [(stem, img_path, tri_path)]
     for stem, ipath, tpath in pairs:
-        img = _load_image(ipath, 3)
-        tri = _load_image(tpath, 1)[..., 0]
-        groups.setdefault((img.shape, tri.shape), []).append((stem, img, tri))
+        with Image.open(ipath) as im, Image.open(tpath) as tm:
+            key = (im.size, tm.size)
+        groups.setdefault(key, []).append((stem, ipath, tpath))
 
     n_done = 0
     t0 = time.time()
-    for (ishape, tshape), items in groups.items():
+    for key, items in groups.items():
         for i in range(0, len(items), args.batch):
             chunk = items[i:i + args.batch]
             stems = [s for s, _, _ in chunk]
-            imgs = np.stack([im for _, im, _ in chunk])
-            tris = np.stack([tr for _, _, tr in chunk])
+            imgs = np.stack([_load_image(p, 3) for _, p, _ in chunk])
+            tris = np.stack([_load_image(p, 1)[..., 0] for _, _, p in chunk])
             c = np.repeat(coords, len(chunk), axis=0) if coords is not None \
                 else None
             alpha, matted = pipe(imgs, tris, options=opts, coords=c)

@@ -127,13 +127,21 @@ def prefetch_batches(sampler: CompositeSampler, batch_size: int, *,
         for _ in range(steps):
             if stop.is_set():
                 return
-            q.put(put(sampler.batch(batch_size)))
+            try:
+                item = put(sampler.batch(batch_size))
+            except BaseException as e:  # surface in the consumer, don't wedge
+                q.put(e)
+                return
+            q.put(item)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
     try:
         for _ in range(steps):
-            yield q.get()
+            item = q.get()
+            if isinstance(item, BaseException):
+                raise item
+            yield item
     finally:
         stop.set()
         # drain so the worker's blocked put() can observe stop

@@ -62,11 +62,15 @@ def make_hybrid_mesh(n_hosts: Optional[int] = None,
             by_host.setdefault(d.process_index, []).append(d)
         rows = [by_host[k] for k in sorted(by_host)]
         devices_per_host = devices_per_host or len(rows[0])
-        if len(rows) < n_hosts or any(len(r) < devices_per_host for r in rows):
+        # exact match required in BOTH directions: a subset mesh would leave
+        # the excluded processes running the same SPMD program with no mesh
+        # devices, deadlocking at the first collective instead of erroring
+        if len(rows) != n_hosts or any(len(r) != devices_per_host for r in rows):
             raise ValueError(
                 f"requested {n_hosts}x{devices_per_host}, have "
-                f"{[len(r) for r in rows]} devices per host")
-        grid = np.asarray([r[:devices_per_host] for r in rows[:n_hosts]])
+                f"{[len(r) for r in rows]} devices per host — hybrid mesh "
+                f"must cover every process exactly")
+        grid = np.asarray(rows)
     else:
         n_hosts = n_hosts or 1
         devices_per_host = devices_per_host or len(devs) // n_hosts

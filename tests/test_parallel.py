@@ -260,3 +260,15 @@ def test_distributed_init_noop_without_fleet(monkeypatch):
                 "TPU_WORKER_HOSTNAMES"):
         monkeypatch.delenv(var, raising=False)
     assert distributed_init() is False
+
+
+def test_prefetch_surfaces_worker_exception():
+    """A dying sampler must raise in the consumer, not wedge q.get() forever."""
+    from sdmatte_tpu.parallel.data import prefetch_batches
+
+    class BadSampler:
+        def batch(self, n):
+            raise RuntimeError("sampler exploded")
+
+    with pytest.raises(RuntimeError, match="sampler exploded"):
+        list(prefetch_batches(BadSampler(), 4, steps=3))
