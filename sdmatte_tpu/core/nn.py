@@ -106,6 +106,70 @@ def _dispatched_conv3x3(cfg, x, k, bias, *, policy: Policy, affine=None,
     return y
 
 
+# nearest-x2-upsample + conv3x3 as a stride-2 transposed conv.  Because
+# nearest x2 duplicates pixels, the 3x3 window over the upsampled tensor
+# touches at most 2x2 DISTINCT input pixels, so the op equals a transposed
+# conv whose combined kernel taps are (per spatial dim, outer product in 2D)
+#   K4 = [W0, W0+W1, W1+W2, W2]
+# i.e. 16 MACs per input pixel instead of 36 (2.25x FLOP cut) and the 4x
+# upsampled tensor (512 MB at 1024^2 x 256 bf16) is never materialized.
+# Numeric equivalence is exact in fp32 (benchmarks/ab_upsample.py --check).
+_UP_T4 = ((1.0, 0.0, 0.0), (1.0, 1.0, 0.0), (0.0, 1.0, 1.0), (0.0, 0.0, 1.0))
+_UP_S = (((1.0, 0.0, 0.0), (0.0, 1.0, 1.0)),    # parity 0: taps (p-1, p)
+         ((1.0, 1.0, 0.0), (0.0, 0.0, 1.0)))    # parity 1: taps (p, p+1)
+
+# Flipped to the measured winner after the on-TPU interleaved A/B
+# (benchmarks/ab_upsample.py); "base" preserves the repeat+conv form.
+UPSAMPLE2X_MODE = "base"
+
+
+def upsample2x_conv(p, x, *, policy: Policy = FP32, mode: str | None = None):
+    """diffusers ``Upsample2D`` (nearest x2 -> conv3x3 pad 1; the reference's
+    decoder/U-Net upsamplers, built via diffusers get_up_block in
+    /root/reference/src/utils/replace.py).  ``mode`` selects the algebraic
+    formulation — all produce identical values:
+
+      base     jnp.repeat x2 + conv3x3 (routes through the normal conv2d
+               dispatch, so Pallas table entries still apply)
+      dilated  one lax lhs-dilated conv with the combined 4x4 kernel
+      poly1    one 2x2-valid conv to 4*C channels + parity interleave
+               (16 MACs/px as one big GEMM, explicit relayout at the end)
+    """
+    mode = mode or UPSAMPLE2X_MODE
+    if mode == "base":
+        u = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return conv2d(p, u, policy=policy)
+    w = p["kernel"].astype(jnp.float32)
+    t4 = jnp.asarray(_UP_T4, jnp.float32)
+    xc = policy.cast_compute(x)
+    if mode == "dilated":
+        k4 = jnp.einsum("ai,bj,ijco->abco", t4, t4, w)
+        y = lax.conv_general_dilated(
+            xc, k4.astype(policy.compute_dtype), (1, 1), [(2, 2), (2, 2)],
+            lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=policy.accum_dtype)
+    elif mode == "poly1":
+        s = [jnp.asarray(m, jnp.float32) for m in _UP_S]
+        k = jnp.concatenate(
+            [jnp.einsum("ui,vj,ijco->uvco", s[a], s[b], w)
+             for a in (0, 1) for b in (0, 1)], axis=-1)    # (2,2,ci,4co)
+        n, h, wd, _ = x.shape
+        co = w.shape[-1]
+        yf = lax.conv_general_dilated(
+            xc, k.astype(policy.compute_dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=policy.accum_dtype)     # (n,h+1,w+1,4co)
+        ys = [yf[:, a:a + h, b:b + wd, i * co:(i + 1) * co]
+              for i, (a, b) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1)))]
+        t = jnp.stack(ys).reshape(2, 2, n, h, wd, co)
+        y = t.transpose(2, 3, 0, 4, 1, 5).reshape(n, 2 * h, 2 * wd, co)
+    else:
+        raise ValueError(f"unknown upsample2x mode {mode!r}")
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y.astype(policy.compute_dtype)
+
+
 def group_norm_stats(p, x, *, groups: int = 32, eps: float = 1e-5):
     """Per-(batch, channel) affine (a, d) such that GroupNorm(x) = x*a + d.
 

@@ -267,11 +267,19 @@ def apply(
                                  bias_cross=bc, cfg=cfg, policy=policy,
                                  attn_impl=attn_impl)
         if i < n_blocks - 1:
-            # nearest 2x to the next skip's spatial size, then conv
+            # nearest 2x to the next skip's spatial size, then conv.  The
+            # target is static at trace time; when it is exactly 2x the
+            # cheap transposed-conv form applies (core/nn.py), otherwise
+            # (odd upstream sizes, replace.py:515-516 size forwarding)
+            # fall back to resize + conv.
             th, tw = (skips[-1].shape[1], skips[-1].shape[2]) if skips else \
                      (x.shape[1] * 2, x.shape[2] * 2)
-            x = resize_nearest(x, th, tw)
-            x = F.conv2d(blk["upsamplers"]["0"]["conv"], x, policy=policy)
+            if (th, tw) == (x.shape[1] * 2, x.shape[2] * 2):
+                x = F.upsample2x_conv(blk["upsamplers"]["0"]["conv"], x,
+                                      policy=policy)
+            else:
+                x = resize_nearest(x, th, tw)
+                x = F.conv2d(blk["upsamplers"]["0"]["conv"], x, policy=policy)
 
     if return_features:
         features.append(x)                        # after up (replace.py:538)

@@ -113,10 +113,10 @@ def decode(params, z, cfg: VAEConfig, *, policy: Policy = FP32,
         for j in range(cfg.layers_per_block + 1):
             h = _resnet(blk["resnets"][str(j)], h, cfg, policy)
         if i < n_blocks - 1:
-            # nearest 2x + conv (diffusers Upsample2D)
-            b, hh, ww, c = h.shape
-            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-            h = F.conv2d(blk["upsamplers"]["0"]["conv"], h, policy=policy)
+            # nearest 2x + conv (diffusers Upsample2D) — formulation picked
+            # by the measured A/B (core/nn.py:upsample2x_conv)
+            h = F.upsample2x_conv(blk["upsamplers"]["0"]["conv"], h,
+                                  policy=policy)
     h = F.group_norm(p["conv_norm_out"], h, groups=cfg.norm_num_groups, eps=cfg.norm_eps)
     h = F.silu(h)
     return F.conv2d(p["conv_out"], h, policy=policy)

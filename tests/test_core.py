@@ -170,3 +170,20 @@ def test_geglu_matches_torch(rng):
     a, g = y.chunk(2, dim=-1)
     ref = (a * F.gelu(g)).numpy()
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["base", "dilated", "poly1"])
+def test_upsample2x_conv_matches_torch(rng, mode):
+    """All upsample2x formulations == torch nearest-x2 + conv3x3 (diffusers
+    Upsample2D semantics; reference decoder/U-Net upsamplers)."""
+    x = rng.standard_normal((2, 7, 5, 8), dtype=np.float32)
+    w = rng.standard_normal((12, 8, 3, 3), dtype=np.float32) * 0.1
+    b = rng.standard_normal(12, dtype=np.float32)
+    p = {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0)), "bias": jnp.asarray(b)}
+    ours = jnn.upsample2x_conv(p, jnp.asarray(x), mode=mode)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = F.conv2d(F.interpolate(xt, scale_factor=2, mode="nearest"),
+                   torch.from_numpy(w), torch.from_numpy(b), padding=1)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    assert np.asarray(ours).shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4, rtol=1e-4)
