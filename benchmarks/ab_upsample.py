@@ -179,7 +179,10 @@ def main():
     rng = np.random.default_rng(0)
     for b, s, c in SHAPES:
         nbytes = b * s * s * c * 2
-        reps = int(min(32, max(8, (1 << 29) // max(nbytes, 1))))
+        # Cap the staged scan-chain input at ~3 GB: the base variant's
+        # upsampled temp (4.3 GB at 8x1024^2x256 bf16) + fp32 conv output
+        # must coexist with it in 16 GB HBM when run unattended.
+        reps = int(min(32, max(3, (3 << 30) // max(nbytes, 1))))
         key = jax.random.PRNGKey(b * 1000 + s)
         xs = jax.random.normal(key, (reps, b, s, s, c), jnp.bfloat16) * 0.1
         w = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.02,
