@@ -190,6 +190,10 @@ class SegmentAnythingStandin:
         denom = w * (1.0 - w)
         denom[denom == 0] = np.nan
         sigma_b = (mu_t * w - mu) ** 2 / denom
+        if not np.isfinite(sigma_b).any():
+            # uniform image: every pixel in one bin -> no valid split;
+            # any threshold is equivalent, return the midpoint
+            return 0.5
         k = int(np.nanargmax(sigma_b))
         return (k + 0.5) / 256.0
 

@@ -47,16 +47,14 @@ _log = get_logger("sdmatte_tpu.serve")
 def _png_to_array(b64: str, channels: int) -> np.ndarray:
     from PIL import Image
     img = Image.open(io.BytesIO(base64.b64decode(b64)))
+    # Canonicalize through PIL convert so EVERY input mode (LA, P, CMYK,
+    # 16-bit, ...) lands at exactly (H, W, 3) or (H, W, 1): the micro-batch
+    # key has no channel component, so a surprise channel count would fail
+    # np.stack for the whole coalesced batch, not just this request.
+    img = img.convert("RGB" if channels == 3 else "L")
     arr = np.asarray(img, np.float32) / 255.0
     if arr.ndim == 2:
         arr = arr[..., None]
-    if channels == 3:
-        if arr.shape[-1] == 4:
-            arr = arr[..., :3]
-        elif arr.shape[-1] == 1:
-            arr = np.repeat(arr, 3, -1)
-    elif channels == 1:
-        arr = arr[..., :1]
     return arr
 
 
@@ -279,7 +277,12 @@ class MattingService:
                 raise BadRequest(
                     f"{name} dimensions {arr.shape[:2]} outside "
                     f"[1, {MAX_IMAGE_SIDE}]")
-        size = int(req.get("inference_size", 1024))
+        try:
+            size = int(req.get("inference_size", 1024))
+        except (TypeError, ValueError):
+            raise BadRequest(
+                f"inference_size {req.get('inference_size')!r} is not an "
+                f"integer") from None
         # the latent stack downsamples 8x in the VAE and 8x across U-Net
         # stages: sizes must be multiples of 64 (node UI offers 512..1024;
         # the tiny CI config runs 64)
@@ -290,7 +293,12 @@ class MattingService:
         mode = str(req.get("output_mode", "alpha_only"))
         if mode not in VALID_MODES:
             raise BadRequest(f"output_mode {mode!r} not in {VALID_MODES}")
-        tc = float(req.get("trimap_constraint", 0.8))
+        try:
+            tc = float(req.get("trimap_constraint", 0.8))
+        except (TypeError, ValueError):
+            raise BadRequest(
+                f"trimap_constraint {req.get('trimap_constraint')!r} is not "
+                f"a number") from None
         if not 0.0 <= tc <= 1.0:
             raise BadRequest(f"trimap_constraint {tc} outside [0, 1]")
         opts = PipelineOptions(

@@ -61,15 +61,27 @@ def _pair_directory(image_dir: str, trimap_dir: str):
         stem, ext = os.path.splitext(f)
         if ext.lower() in _IMAGE_EXTS:
             tris.setdefault(stem, os.path.join(trimap_dir, f))
-    pairs, missing = [], []
+    pairs, missing, dup = [], [], []
+    seen = set()
     for f in sorted(os.listdir(image_dir)):
         stem, ext = os.path.splitext(f)
         if ext.lower() not in _IMAGE_EXTS:
             continue
+        if stem in seen:
+            # cat.png + cat.jpg would both write out/<stem>.png — keep the
+            # first (sorted order) instead of silently overwriting results
+            dup.append(f)
+            continue
+        seen.add(stem)
         if stem in tris:
             pairs.append((stem, os.path.join(image_dir, f), tris[stem]))
         else:
             missing.append(f)
+    if dup:
+        print(f"[cli] skipping {len(dup)} image(s) whose stem collides with "
+              f"an earlier file (outputs are named <stem>.png): "
+              f"{', '.join(dup[:5])}{' ...' if len(dup) > 5 else ''}",
+              file=sys.stderr)
     if missing:
         print(f"[cli] skipping {len(missing)} image(s) without a matching "
               f"trimap: {', '.join(missing[:5])}"
@@ -160,6 +172,18 @@ def main(argv=None):
                     help="CI-size model, random weights (smoke-tests the "
                          "full CLI path in seconds)")
     args = ap.parse_args(argv)
+    if args.batch < 1:
+        ap.error(f"--batch must be >= 1 (got {args.batch})")
+
+    if args.cpu:
+        # Must happen BEFORE any jax backend init: plugin platforms (axon
+        # TPU) otherwise enumerate their devices even when compute later
+        # runs under jax.default_device(cpu) — on a wedged/absent
+        # accelerator that enumeration hangs the whole CLI.  (The env var
+        # JAX_PLATFORMS alone does not work here: the plugin prepends
+        # itself at import time.)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import os
     from .pipeline import MattingPipeline, PipelineOptions

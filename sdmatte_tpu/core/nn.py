@@ -16,6 +16,8 @@ Layout conventions (converted once at checkpoint load):
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -120,7 +122,9 @@ _UP_S = (((1.0, 0.0, 0.0), (0.0, 1.0, 1.0)),    # parity 0: taps (p-1, p)
 
 # Flipped to the measured winner after the on-TPU interleaved A/B
 # (benchmarks/ab_upsample.py); "base" preserves the repeat+conv form.
-UPSAMPLE2X_MODE = "base"
+# SDMATTE_UPSAMPLE2X overrides for pipeline-level A/B without code edits
+# (same escape-hatch pattern as SDMATTE_NO_PALLAS_CONV in ops/dispatch.py).
+UPSAMPLE2X_MODE = os.environ.get("SDMATTE_UPSAMPLE2X", "base")
 
 
 def upsample2x_conv(p, x, *, policy: Policy = FP32, mode: str | None = None):

@@ -111,7 +111,7 @@ def pallas_conv3x3_config(b: int, h: int, w: int, cin: int, cout: int,
         return None
     if jax.default_backend() != "tpu":
         return None
-    entry = PALLAS_CONV_WINS.get((b, h, cin, cout))
+    entry = entry0
     if entry is None or entry[0] < _MIN_SPEEDUP:
         return None
     only = os.environ.get("SDMATTE_PALLAS_ONLY")   # bisection aid:

@@ -109,16 +109,39 @@ def prefetch_batches(sampler: CompositeSampler, batch_size: int, *,
     background thread.  With a mesh, leaves are device_put with the batch
     axis sharded over the mesh's data axes (the same layout
     make_sharded_train_step constrains to, so no resharding happens at step
-    time)."""
+    time).
+
+    Multi-host: each process composites only its LOCAL slice of the global
+    batch (``batch_size // process_count`` samples) and the global array is
+    assembled with ``jax.make_array_from_process_local_data`` — no host
+    composites data another host owns, and hosts are EXPECTED to draw
+    different data (train_loop seeds the default sampler with
+    ``process_index``).  ``batch_size`` stays the GLOBAL batch size."""
     import jax
     from jax.sharding import NamedSharding
     from .mesh import data_spec
 
+    nproc = jax.process_count()
+    local_bs = batch_size
+    if mesh is not None and nproc > 1:
+        if batch_size % nproc:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly over "
+                f"{nproc} processes")
+        local_bs = batch_size // nproc
+
     def put(batch):
         if mesh is None:
             return {k: jax.device_put(v) for k, v in batch.items()}
-        return {k: jax.device_put(v, NamedSharding(mesh, data_spec(mesh, v.ndim)))
-                for k, v in batch.items()}
+        out = {}
+        for k, v in batch.items():
+            sh = NamedSharding(mesh, data_spec(mesh, v.ndim))
+            if nproc == 1:
+                out[k] = jax.device_put(v, sh)
+            else:
+                out[k] = jax.make_array_from_process_local_data(
+                    sh, v, (batch_size,) + v.shape[1:])
+        return out
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
@@ -128,7 +151,7 @@ def prefetch_batches(sampler: CompositeSampler, batch_size: int, *,
             if stop.is_set():
                 return
             try:
-                item = put(sampler.batch(batch_size))
+                item = put(sampler.batch(local_bs))
             except BaseException as e:  # surface in the consumer, don't wedge
                 q.put(e)
                 return

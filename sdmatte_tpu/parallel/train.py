@@ -161,7 +161,9 @@ def train_loop(params, cfg: SDMatteConfig, *, steps: int, batch_size: int,
     from ..utils.observability import get_logger
     log = get_logger("sdmatte_tpu.train")
 
-    sampler = sampler or CompositeSampler(size=64)
+    # per-process seed: in a multi-host run each process composites its own
+    # slice of the global batch (data.py), so hosts must draw distinct data
+    sampler = sampler or CompositeSampler(size=64, seed=jax.process_index())
     tx, opt_state = init_train_state(params, learning_rate)
     if mesh is not None:
         from .mesh import replicate

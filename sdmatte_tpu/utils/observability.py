@@ -14,8 +14,8 @@ import json
 import logging
 import os
 import time
-from collections import defaultdict
-from typing import Dict, Iterator, List, Optional
+from collections import defaultdict, deque
+from typing import Deque, Dict, Iterator, List, Optional
 
 _LOGGERS: Dict[str, logging.Logger] = {}
 
@@ -52,39 +52,53 @@ def trace(log_dir: Optional[str] = None) -> Iterator[None]:
         get_logger().info("profiler trace written to %s", log_dir)
 
 
+# Per-series window: percentiles are computed over the most recent
+# _SERIES_CAP observations so a long-lived serving process holds bounded
+# memory (the batcher observes per request — unbounded lists would grow
+# for the life of the server).  Totals keep the true observation count.
+_SERIES_CAP = 4096
+
+
 @dataclasses.dataclass
 class Metrics:
     """Process-local metric registry: counters and timing histograms."""
 
     counters: Dict[str, float] = dataclasses.field(
         default_factory=lambda: defaultdict(float))
-    timings_ms: Dict[str, List[float]] = dataclasses.field(
-        default_factory=lambda: defaultdict(list))
-    values: Dict[str, List[float]] = dataclasses.field(
-        default_factory=lambda: defaultdict(list))
+    timings_ms: Dict[str, Deque[float]] = dataclasses.field(
+        default_factory=lambda: defaultdict(
+            lambda: deque(maxlen=_SERIES_CAP)))
+    values: Dict[str, Deque[float]] = dataclasses.field(
+        default_factory=lambda: defaultdict(
+            lambda: deque(maxlen=_SERIES_CAP)))
+    totals: Dict[str, int] = dataclasses.field(
+        default_factory=lambda: defaultdict(int))
 
     def count(self, name: str, value: float = 1.0):
         self.counters[name] += value
 
     def observe_ms(self, name: str, ms: float):
         self.timings_ms[name].append(ms)
+        self.totals[name] += 1
 
     def observe(self, name: str, value: float):
         """Unitless distribution (e.g. batch sizes, queue depths)."""
         self.values[name].append(value)
+        self.totals[name] += 1
 
     def summary(self) -> dict:
         import numpy as np
         out: dict = {"counters": dict(self.counters)}
         out["timings"] = {
-            k: {"n": len(v), "p50_ms": float(np.percentile(v, 50)),
+            k: {"n": self.totals[k],
+                "p50_ms": float(np.percentile(v, 50)),
                 "p99_ms": float(np.percentile(v, 99)) if len(v) > 1 else float(v[0])}
-            for k, v in self.timings_ms.items() if v
+            for k, v in ((k, list(v)) for k, v in self.timings_ms.items()) if v
         }
         out["values"] = {
-            k: {"n": len(v), "p50": float(np.percentile(v, 50)),
+            k: {"n": self.totals[k], "p50": float(np.percentile(v, 50)),
                 "max": float(max(v))}
-            for k, v in self.values.items() if v
+            for k, v in ((k, list(v)) for k, v in self.values.items()) if v
         }
         return out
 

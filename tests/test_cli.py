@@ -56,3 +56,20 @@ def test_cli_mixed_file_dir_errors(tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["--image", str(tmp_path), "--trimap", tri,
                   "--out", str(tmp_path / "o.png"), "--tiny", "--cpu"])
+
+
+def test_cli_stem_collision_skipped(tmp_path, capsys):
+    """cat.png + cat.jpg both map to out/cat.png — only one may be paired."""
+    imgs, tris = tmp_path / "imgs", tmp_path / "tris"
+    imgs.mkdir(), tris.mkdir()
+    _write_pair(str(imgs / "cat.png"), str(tris / "cat.png"))
+    _write_pair(str(imgs / "cat.jpg"), str(tmp_path / "scratch.png"), seed=1)
+    pairs = cli._pair_directory(str(imgs), str(tris))
+    assert len(pairs) == 1
+    assert pairs[0][0] == "cat"
+
+
+def test_cli_batch_must_be_positive(tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main(["--image", "x", "--trimap", "y", "--out", "z",
+                  "--batch", "0", "--tiny", "--cpu"])

@@ -272,3 +272,14 @@ def test_prefetch_surfaces_worker_exception():
 
     with pytest.raises(RuntimeError, match="sampler exploded"):
         list(prefetch_batches(BadSampler(), 4, steps=3))
+
+
+def test_prefetch_batches_multihost_batch_divisibility(monkeypatch):
+    """Global batch must divide over processes (multi-host assembly path)."""
+    import jax
+    from sdmatte_tpu.parallel.data import CompositeSampler, prefetch_batches
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    gen = prefetch_batches(CompositeSampler(size=8), 4, steps=1,
+                           mesh=make_mesh(8))
+    with pytest.raises(ValueError, match="divide evenly"):
+        next(gen)

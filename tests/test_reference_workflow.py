@@ -118,3 +118,10 @@ def test_standin_mask_is_trimap_like():
     assert m[4, 4] < 0.1            # background
     band = ((m > 0.05) & (m < 0.95)).mean()
     assert band > 0.01              # a soft boundary band exists
+
+
+def test_otsu_uniform_image_returns_midpoint():
+    """A flat image has no valid Otsu split; must not crash on all-NaN."""
+    lum = np.full((32, 32), 0.37, np.float64)
+    t = run_workflow.SegmentAnythingStandin._otsu(lum)
+    assert 0.0 < t < 1.0

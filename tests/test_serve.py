@@ -352,3 +352,31 @@ def test_service_validation_http(server):
     code, body = _post(server + "/v1/matte",
                        {"image": "bm90YXBuZw==", "trimap": ok["trimap"]})
     assert code == 400 and "undecodable" in body["error"]
+
+
+def test_exotic_png_modes_canonicalized(server):
+    """LA/P-mode PNGs decode to canonical (H,W,3)/(H,W,1) — a surprise
+    channel count would fail np.stack for a whole coalesced batch."""
+    def b64(im):
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+    la = PIL.new("LA", (24, 16), (128, 200))       # grayscale+alpha image
+    pal = PIL.new("P", (24, 16), 3)                # palette trimap
+    code, body = _post(server + "/v1/matte", {
+        "image": b64(la), "trimap": b64(pal), "inference_size": 64,
+    })
+    assert code == 200, body
+    alpha = np.asarray(PIL.open(io.BytesIO(base64.b64decode(body["alpha"]))))
+    assert alpha.shape == (16, 24)
+
+
+def test_non_numeric_params_are_400(server):
+    img = np.zeros((16, 16, 3), np.float32)
+    tri = np.zeros((16, 16), np.float32)
+    ok = {"image": _png_b64(img), "trimap": _png_b64(tri)}
+    code, body = _post(server + "/v1/matte", dict(ok, inference_size="big"))
+    assert code == 400 and "inference_size" in body["error"]
+    code, body = _post(server + "/v1/matte",
+                       dict(ok, trimap_constraint=[0.5]))
+    assert code == 400 and "trimap_constraint" in body["error"]
