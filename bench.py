@@ -83,6 +83,9 @@ def main():
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
+    from sdmatte_tpu.core import nn as _nn
+    if _nn.UPSAMPLE2X_MODE != "base":
+        result["upsample2x_mode"] = _nn.UPSAMPLE2X_MODE
     print(json.dumps(result))
 
 
