@@ -52,9 +52,18 @@ def main():
                 times.append(dt)
         return float(np.percentile(times, 50))
 
-    p50_512 = bench(512, 1)
-    p50_768 = bench(768, 1, iters=4, output_mode="matted_rgba")  # BASELINE cfg 2
-    p50_1024 = bench(1024, 1)
+    def try_bench(*args, **kw):
+        """One transient failure (tunnel flake, remote-compile 500) must not
+        lose the whole round's bench record — measure what we can."""
+        try:
+            return bench(*args, **kw)
+        except Exception as e:
+            print(f"bench{args} failed: {e}", file=sys.stderr)
+            return None
+
+    p50_512 = try_bench(512, 1)
+    p50_768 = try_bench(768, 1, iters=4, output_mode="matted_rgba")  # BASELINE cfg 2
+    p50_1024 = bench(1024, 1)  # the headline — a failure here IS a failed bench
     # throughput: sweep batch sizes — large batches can exceed HBM and spill
     best_tp, best_batch, per_batch = 1.0 / p50_1024, 1, {}
     for batch in (4, 8):  # b>=9 exceeds 16G HBM at 1024px (ab_b10.py measured
@@ -75,8 +84,8 @@ def main():
         "value": round(throughput, 3),
         "unit": "mattes/s",
         "vs_baseline": round(throughput / baseline_throughput, 3),
-        "p50_latency_512px_ms": round(p50_512 * 1e3, 1),
-        "p50_latency_768px_rgba_ms": round(p50_768 * 1e3, 1),
+        "p50_latency_512px_ms": round(p50_512 * 1e3, 1) if p50_512 else None,
+        "p50_latency_768px_rgba_ms": round(p50_768 * 1e3, 1) if p50_768 else None,
         "p50_latency_1024px_ms": round(p50_1024 * 1e3, 1),
         "best_batch": best_batch,
         "throughput_per_batch": per_batch,
