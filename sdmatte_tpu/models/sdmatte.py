@@ -74,6 +74,7 @@ def forward(
     attn_impl: str = "auto",
     vae_chunk: Optional[int] = None,
     return_intermediates: bool = False,
+    remat: bool = False,
 ):
     """data keys (NHWC, all jnp):
       image        (B, S, S, 3) in [-1,1]
@@ -157,6 +158,7 @@ def forward(
         policy=policy,
         attn_impl=attn_impl,
         return_features=want_features,
+        remat=remat,
     )
     label_latent, feature_maps = unet_out if want_features else (unet_out, None)
 

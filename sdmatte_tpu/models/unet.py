@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..configs import UNetConfig
@@ -105,6 +106,25 @@ def _resnet(p, x, emb, cfg: UNetConfig, policy: Policy):
     return x + h
 
 
+# Rematerialized block variants for memory-bound training (jax.checkpoint):
+# the backward pass recomputes each block's interior instead of keeping its
+# activations live across the whole U-Net — the standard TPU trade of ~1/3
+# more block FLOPs for O(depth) less activation HBM.  Selected per-call via
+# ``apply(..., remat=True)``; inference paths never pay the wrapper.
+_resnet_remat = jax.checkpoint(_resnet, static_argnums=(3, 4))
+
+
+def _transformer_positional(p, x, ctx, bias_self, bias_cross, heads, cfg,
+                            policy, attn_impl):
+    return _transformer(p, x, ctx, heads=heads, bias_self=bias_self,
+                        bias_cross=bias_cross, cfg=cfg, policy=policy,
+                        attn_impl=attn_impl)
+
+
+_transformer_remat = jax.checkpoint(_transformer_positional,
+                                    static_argnums=(5, 6, 7, 8))
+
+
 # ---------------------------------------------------------------- forward ---
 
 def _stage_pick(use_list, true_val, false_val):
@@ -151,6 +171,7 @@ def apply(
     policy: Policy = FP32,
     attn_impl: str = "auto",
     return_features: bool = False,       # distillation hooks (replace.py:465,490,506,538)
+    remat: bool = False,                 # jax.checkpoint each resnet/transformer block
 ):
     """Single U-Net pass (reference replace.py:379-549 semantics).
 
@@ -222,6 +243,19 @@ def apply(
 
     heads = list(cfg.attention_head_dim)
 
+    def resnet_f(p, x, emb):
+        if remat:
+            return _resnet_remat(p, x, emb, cfg, policy)
+        return _resnet(p, x, emb, cfg, policy)
+
+    def transformer_f(p, x, ctx, heads_i, bs, bc):
+        if remat:
+            return _transformer_remat(p, x, ctx, bs, bc, heads_i, cfg,
+                                      policy, attn_impl)
+        return _transformer(p, x, ctx, heads=heads_i, bias_self=bs,
+                            bias_cross=bc, cfg=cfg, policy=policy,
+                            attn_impl=attn_impl)
+
     # -- down path ---------------------------------------------------------
     x = F.conv2d(params["conv_in"], sample, policy=policy)
     skips = [x]
@@ -229,12 +263,11 @@ def apply(
     for i in range(n_blocks):
         blk = params["down_blocks"][str(i)]
         for j in range(cfg.layers_per_block):
-            x = _resnet(blk["resnets"][str(j)], x, emb, cfg, policy)
+            x = resnet_f(blk["resnets"][str(j)], x, emb)
             if cfg.down_has_attn[i]:
                 bs, bc = stage_bias(0, x.shape[1], x.shape[2], ctx_aux[0])
-                x = _transformer(blk["attentions"][str(j)], x, ctx_aux[0],
-                                 heads=heads[i], bias_self=bs, bias_cross=bc,
-                                 cfg=cfg, policy=policy, attn_impl=attn_impl)
+                x = transformer_f(blk["attentions"][str(j)], x, ctx_aux[0],
+                                  heads[i], bs, bc)
             skips.append(x)
         if i < n_blocks - 1:
             x = F.conv2d(blk["downsamplers"]["0"]["conv"], x, stride=2, policy=policy)
@@ -244,12 +277,10 @@ def apply(
 
     # -- mid ---------------------------------------------------------------
     mid = params["mid_block"]
-    x = _resnet(mid["resnets"]["0"], x, emb, cfg, policy)
+    x = resnet_f(mid["resnets"]["0"], x, emb)
     bs, bc = stage_bias(1, x.shape[1], x.shape[2], ctx_aux[1])
-    x = _transformer(mid["attentions"]["0"], x, ctx_aux[1], heads=heads[-1],
-                     bias_self=bs, bias_cross=bc, cfg=cfg, policy=policy,
-                     attn_impl=attn_impl)
-    x = _resnet(mid["resnets"]["1"], x, emb, cfg, policy)
+    x = transformer_f(mid["attentions"]["0"], x, ctx_aux[1], heads[-1], bs, bc)
+    x = resnet_f(mid["resnets"]["1"], x, emb)
     if return_features:
         features.append(x)                        # after mid (replace.py:506)
 
@@ -259,13 +290,11 @@ def apply(
         for j in range(cfg.layers_per_block + 1):
             skip = skips.pop()
             x = jnp.concatenate([x, skip], axis=-1)
-            x = _resnet(blk["resnets"][str(j)], x, emb, cfg, policy)
+            x = resnet_f(blk["resnets"][str(j)], x, emb)
             if cfg.up_has_attn[i]:
                 bs, bc = stage_bias(2, x.shape[1], x.shape[2], ctx_aux[2])
-                x = _transformer(blk["attentions"][str(j)], x, ctx_aux[2],
-                                 heads=heads[n_blocks - 1 - i], bias_self=bs,
-                                 bias_cross=bc, cfg=cfg, policy=policy,
-                                 attn_impl=attn_impl)
+                x = transformer_f(blk["attentions"][str(j)], x, ctx_aux[2],
+                                  heads[n_blocks - 1 - i], bs, bc)
         if i < n_blocks - 1:
             # nearest 2x to the next skip's spatial size, then conv.  The
             # target is static at trace time; when it is exactly 2x the

@@ -163,9 +163,12 @@ def test_train_converges_multi_step(tiny):
     sampler = CompositeSampler(size=64, seed=0)
     batch = {k: jnp.asarray(v) for k, v in sampler.batch(2).items()}
     sched = make_lr_schedule(1e-3, warmup_steps=2, total_steps=30)
-    tx, opt = init_train_state(params, sched)
+    # frozen=(): this test's trajectory was calibrated with every tower
+    # trainable; reference-parity freezing is covered by
+    # test_frozen_towers_not_updated
+    tx, opt = init_train_state(params, sched, frozen=())
     step = jax.jit(functools.partial(
-        train_step, cfg=cfg, tx=tx,
+        train_step, cfg=cfg, tx=tx, frozen=(),
         loss_cfg=LossConfig(l1=1.0, unknown_l1=1.0, grad_l1=0.5)))
     losses = []
     for _ in range(20):
@@ -173,6 +176,61 @@ def test_train_converges_multi_step(tiny):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert min(losses[-3:]) < 0.7 * losses[0], losses
+
+
+def test_frozen_towers_not_updated(tiny):
+    """Reference parity (meta_arch.py:73-75): vae + text_encoder are frozen;
+    only the U-Net trains.  Default train_step must leave them bit-identical
+    and hold no optimizer moments for them."""
+    cfg, params = tiny
+    import functools
+    tx, opt = ptrain.init_train_state(params, learning_rate=1e-3)
+    from sdmatte_tpu.parallel.data import CompositeSampler
+    batch = {k: jnp.asarray(v)
+             for k, v in CompositeSampler(size=64, seed=1).batch(2).items()}
+    step = jax.jit(functools.partial(ptrain.train_step, cfg=cfg, tx=tx))
+    new_params, new_opt, loss = step(params, opt, batch)
+    assert np.isfinite(float(loss))
+    for tower in ("vae", "text_encoder"):
+        before = jax.tree_util.tree_leaves(params[tower])
+        after = jax.tree_util.tree_leaves(new_params[tower])
+        for x, y in zip(before, after):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # the unet DID train
+    assert np.abs(np.asarray(params["unet"]["conv_in"]["kernel"])
+                  - np.asarray(new_params["unet"]["conv_in"]["kernel"])).max() > 0
+
+    # no adamw moment buffers exist for the frozen towers: the masked opt
+    # state has strictly fewer array leaves than the train-everything one
+    _, opt_full = ptrain.init_train_state(params, learning_rate=1e-3,
+                                          frozen=())
+    n_frozen = len(jax.tree_util.tree_leaves(opt))
+    n_full = len(jax.tree_util.tree_leaves(opt_full))
+    n_tower = len(jax.tree_util.tree_leaves(params["vae"])) + len(
+        jax.tree_util.tree_leaves(params["text_encoder"]))
+    assert n_full - n_frozen >= 2 * n_tower  # mu + nu per frozen leaf
+
+
+def test_remat_matches_baseline_loss_and_grads(tiny):
+    """jax.checkpoint'd U-Net blocks are a pure memory/compute trade: loss
+    and gradients must match the non-remat step."""
+    cfg, params = tiny
+    from sdmatte_tpu.parallel.data import CompositeSampler
+    batch = {k: jnp.asarray(v)
+             for k, v in CompositeSampler(size=64, seed=2).batch(2).items()}
+
+    def run(remat):
+        return jax.jit(
+            lambda p, b: jax.value_and_grad(ptrain.matting_loss)(
+                p, cfg, b, remat=remat))(params, batch)
+
+    loss0, g0 = run(False)
+    loss1, g1 = run(True)
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                     jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5, rtol=1e-4)
 
 
 def test_uncertainty_weight_band():
