@@ -161,10 +161,15 @@ def make_sharded_train_step(mesh, cfg: SDMatteConfig, tx, *,
                             policy: Policy = FP32, attn_impl: str = "xla",
                             loss_cfg: LossConfig = LossConfig(),
                             frozen: Sequence[str] = FROZEN_TOWERS,
-                            remat: bool = False):
+                            remat: bool = False, donate: bool = True):
     """jit the step with explicit in/out shardings over the mesh: params and
     optimizer state replicated, batch sharded over the mesh's data axes
-    (1-D 'data' or hybrid ('dcn','data') — mesh.data_spec)."""
+    (1-D 'data' or hybrid ('dcn','data') — mesh.data_spec).
+
+    ``donate`` (default) donates the incoming params/opt-state buffers to
+    the updated ones, so the old and new trees never coexist in HBM — the
+    standard train-loop pattern (callers must not reuse the donated inputs
+    after the step; pass donate=False to keep them readable)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from .mesh import data_spec
 
@@ -183,7 +188,8 @@ def make_sharded_train_step(mesh, cfg: SDMatteConfig, tx, *,
         return step(params, opt_state, batch)
 
     return jax.jit(wrapped,
-                   out_shardings=(repl, repl, repl))
+                   out_shardings=(repl, repl, repl),
+                   donate_argnums=(0, 1) if donate else ())
 
 
 def train_loop(params, cfg: SDMatteConfig, *, steps: int, batch_size: int,
@@ -216,7 +222,8 @@ def train_loop(params, cfg: SDMatteConfig, *, steps: int, batch_size: int,
     else:
         step_fn = jax.jit(functools.partial(
             train_step, cfg=cfg, tx=tx, policy=policy, attn_impl=attn_impl,
-            loss_cfg=loss_cfg, frozen=frozen, remat=remat))
+            loss_cfg=loss_cfg, frozen=frozen, remat=remat),
+            donate_argnums=(0, 1))
 
     losses = []
     for i, batch in enumerate(prefetch_batches(sampler, batch_size,

@@ -233,6 +233,24 @@ def test_remat_matches_baseline_loss_and_grads(tiny):
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_train_loop_end_to_end(tiny, tmp_path):
+    """train_loop integration: prefetched data -> donated step -> checkpoint.
+    Covers the full driver path (sampler/prefetch/jit/ckpt) that the
+    step-level tests bypass."""
+    from sdmatte_tpu.parallel.data import CompositeSampler
+    cfg, params = tiny
+    params = sdmatte.init(cfg, seed=0)   # private copy: donation consumes it
+    d = str(tmp_path / "loop_ckpts")
+    new_params, losses = ptrain.train_loop(
+        params, cfg, steps=3, batch_size=2,
+        sampler=CompositeSampler(size=64, seed=4),
+        learning_rate=1e-4, ckpt_dir=d, ckpt_every=2, log_every=1)
+    assert len(losses) == 3 and np.isfinite(losses).all()
+    from sdmatte_tpu.parallel import checkpointing as ckpt
+    assert ckpt.latest_step(d) == 2
+    assert np.abs(np.asarray(new_params["unet"]["conv_in"]["kernel"])).sum() > 0
+
+
 def test_uncertainty_weight_band():
     """In-graph analogue of the reference's dilated uncertainty band."""
     alpha = np.zeros((1, 32, 32, 1), np.float32)
