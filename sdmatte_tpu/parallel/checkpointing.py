@@ -20,11 +20,18 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_train_state(ckpt_dir: str, step: int, params, opt_state) -> str:
-    """Write an atomic step checkpoint; returns its path."""
+def save_train_state(ckpt_dir: str, step: int, params, opt_state, *,
+                     ema=None) -> str:
+    """Write an atomic step checkpoint; returns its path.
+
+    ``ema``: optional exponential-moving-average param tree (train_loop's
+    ``ema_decay``); stored alongside and restorable via
+    ``restore_train_state(..., with_ema=True)``."""
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
-    _checkpointer().save(path, {"step": step, "params": params,
-                                "opt_state": opt_state}, force=True)
+    state = {"step": step, "params": params, "opt_state": opt_state}
+    if ema is not None:
+        state["ema"] = ema
+    _checkpointer().save(path, state, force=True)
     return path
 
 
@@ -37,23 +44,27 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
 
 
 def restore_train_state(ckpt_dir: str, *, step: Optional[int] = None,
-                        template: Optional[Any] = None) -> Tuple[int, Any, Any]:
+                        template: Optional[Any] = None,
+                        with_ema: bool = False) -> Tuple[Any, ...]:
     """Restore (step, params, opt_state); latest step by default.
 
     ``template`` (a pytree of like-shaped arrays) restores with matching
-    shardings/dtypes when given.
+    shardings/dtypes when given.  ``with_ema=True`` appends the stored EMA
+    tree (or None when the checkpoint has none) as a fourth element.
     """
     s = step if step is not None else latest_step(ckpt_dir)
     if s is None:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{s:08d}")
     if template is not None:
-        restored = _checkpointer().restore(path, item={"step": 0,
-                                                       "params": template[0],
-                                                       "opt_state": template[1]})
+        item = {"step": 0, "params": template[0], "opt_state": template[1]}
+        if with_ema and len(template) > 2 and template[2] is not None:
+            item["ema"] = template[2]
+        restored = _checkpointer().restore(path, item=item)
     else:
         restored = _checkpointer().restore(path)
-    return restored["step"], restored["params"], restored["opt_state"]
+    out = (restored["step"], restored["params"], restored["opt_state"])
+    return out + (restored.get("ema"),) if with_ema else out
 
 
 def export_reference_checkpoint(params, path: str):

@@ -197,12 +197,18 @@ def train_loop(params, cfg: SDMatteConfig, *, steps: int, batch_size: int,
                loss_cfg: LossConfig = LossConfig(),
                policy: Policy = FP32, attn_impl: str = "xla",
                frozen: Sequence[str] = FROZEN_TOWERS, remat: bool = False,
+               ema_decay: float = 0.0,
                ckpt_dir: Optional[str] = None, ckpt_every: int = 0,
                log_every: int = 10):
     """Full fine-tune driver: data pipeline -> sharded step -> checkpoints.
 
     Composition runs one step ahead on a host thread (parallel/data.py);
-    the device only ever sees ready batches.  Returns (params, losses)."""
+    the device only ever sees ready batches.  Returns (params, losses), or
+    (params, losses, ema_params) when ``ema_decay`` > 0 — the standard
+    matting-training EMA of the weights (the reference's checkpoint loader
+    tolerates ema-nested dicts, sdmatte_nodes.py:307-319, because upstream
+    SDMatte training shipped them).  EMA costs one extra param tree of HBM
+    and a cheap fused multiply-add per step."""
     from .data import CompositeSampler, prefetch_batches
     from ..utils.observability import get_logger
     log = get_logger("sdmatte_tpu.train")
@@ -211,10 +217,23 @@ def train_loop(params, cfg: SDMatteConfig, *, steps: int, batch_size: int,
     # slice of the global batch (data.py), so hosts must draw distinct data
     sampler = sampler or CompositeSampler(size=64, seed=jax.process_index())
     tx, opt_state = init_train_state(params, learning_rate, frozen=frozen)
+    ema = ema_update = None
+    if ema_decay:
+        # real copies, NOT jnp.asarray: the step donates the params buffers,
+        # so an aliasing EMA tree would read donated memory on step 1
+        ema = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                     params)
+        ema_update = jax.jit(
+            lambda e, p: jax.tree_util.tree_map(
+                lambda a, b: ema_decay * a + (1.0 - ema_decay)
+                * b.astype(a.dtype), e, p),
+            donate_argnums=(0,))
     if mesh is not None:
         from .mesh import replicate
         params = replicate(params, mesh)
         opt_state = replicate(opt_state, mesh)
+        if ema is not None:
+            ema = replicate(ema, mesh)
         step_fn = make_sharded_train_step(mesh, cfg, tx, policy=policy,
                                           attn_impl=attn_impl,
                                           loss_cfg=loss_cfg, frozen=frozen,
@@ -229,10 +248,15 @@ def train_loop(params, cfg: SDMatteConfig, *, steps: int, batch_size: int,
     for i, batch in enumerate(prefetch_batches(sampler, batch_size,
                                                steps=steps, mesh=mesh)):
         params, opt_state, loss = step_fn(params, opt_state, batch)
+        if ema_update is not None:
+            ema = ema_update(ema, params)
         if i % log_every == 0 or i == steps - 1:
             losses.append(float(loss))
             log.info("step %d loss %.5f", i, losses[-1])
         if ckpt_dir and ckpt_every and (i + 1) % ckpt_every == 0:
             from . import checkpointing
-            checkpointing.save_train_state(ckpt_dir, i + 1, params, opt_state)
+            checkpointing.save_train_state(ckpt_dir, i + 1, params, opt_state,
+                                           ema=ema)
+    if ema is not None:
+        return params, losses, ema
     return params, losses

@@ -251,6 +251,34 @@ def test_train_loop_end_to_end(tiny, tmp_path):
     assert np.abs(np.asarray(new_params["unet"]["conv_in"]["kernel"])).sum() > 0
 
 
+def test_train_loop_ema(tiny, tmp_path):
+    """ema_decay tracks an EMA of the weights (the upstream-checkpoint
+    convention the loader's 'ema.' candidate prefix exists for): lags the
+    live params toward the init, checkpoints alongside, restores."""
+    from sdmatte_tpu.parallel.data import CompositeSampler
+    from sdmatte_tpu.parallel import checkpointing as ckpt
+    cfg, _ = tiny
+    params = sdmatte.init(cfg, seed=0)
+    init_kernel = np.asarray(params["unet"]["conv_in"]["kernel"]).copy()
+    d = str(tmp_path / "ema_ckpts")
+    new_params, losses, ema = ptrain.train_loop(
+        params, cfg, steps=3, batch_size=2,
+        sampler=CompositeSampler(size=64, seed=5),
+        learning_rate=1e-3, ema_decay=0.5, ckpt_dir=d, ckpt_every=3,
+        log_every=1)
+    live = np.asarray(new_params["unet"]["conv_in"]["kernel"])
+    avg = np.asarray(ema["unet"]["conv_in"]["kernel"])
+    assert np.isfinite(avg).all()
+    assert np.abs(avg - live).max() > 0          # EMA lags the live weights
+    # ... toward the init: the EMA is strictly closer to w0 than live is
+    assert np.abs(avg - init_kernel).mean() < np.abs(live - init_kernel).mean()
+    # checkpoint round-trips the EMA tree
+    _, _, _, ema_restored = ckpt.restore_train_state(d, with_ema=True)
+    np.testing.assert_allclose(
+        np.asarray(ema_restored["unet"]["conv_in"]["kernel"]), avg,
+        atol=1e-7)
+
+
 def test_uncertainty_weight_band():
     """In-graph analogue of the reference's dilated uncertainty band."""
     alpha = np.zeros((1, 32, 32, 1), np.float32)
