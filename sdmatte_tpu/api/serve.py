@@ -384,6 +384,11 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--random-weights", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--warmup", default=None, metavar="SIZES",
+                    help="comma-separated inference sizes to precompile at "
+                         "startup (batch buckets 1..max_batch), e.g. "
+                         "'512,1024' — first requests then skip the "
+                         "compile stall")
     args = ap.parse_args(argv)
 
     if args.random_weights:
@@ -398,6 +403,16 @@ def main(argv=None):
     else:
         from .node import get_pipeline
         pipe = get_pipeline(args.ckpt, force_cpu=args.cpu)
+    if args.warmup:
+        sizes = tuple(int(s) for s in args.warmup.split(","))
+        buckets, b = [], 1
+        while b <= 8:                  # MicroBatcher pads to 2^k <= max_batch
+            buckets.append(b)
+            b *= 2
+        _log.info("warming %s x batches %s ...", sizes, buckets)
+        for cfg_key, secs in pipe.warmup(sizes=sizes,
+                                         batch_sizes=buckets).items():
+            _log.info("warmup %s: %.1fs", cfg_key, secs)
     serve(pipe, args.port, args.host).serve_forever()
 
 

@@ -178,6 +178,33 @@ class MattingPipeline:
 
     # -- public entry -----------------------------------------------------
 
+    def warmup(self, *, sizes: Sequence[int] = (1024,),
+               batch_sizes: Sequence[int] = (1,),
+               options: Optional[PipelineOptions] = None) -> dict:
+        """Precompile the pipeline graphs for the given configs by running
+        zero-filled dummies through them, so deployment pays the 20-40s+
+        first-compile cost at startup instead of on the first user request
+        (the TPU analogue of the reference README's 'first run is slow,
+        needs to compile CUDA kernels' caveat, reference README.md:183).
+
+        Warms pre/heavy/post for every (inference_size, batch) pair with
+        inputs AT the inference size (callers with other input resolutions
+        only re-trace the tiny pre/post graphs).  Returns
+        {(size, batch): seconds} compile+run timings."""
+        import time
+        base = options or PipelineOptions()
+        timings = {}
+        for size in sizes:
+            opts = dataclasses.replace(base, inference_size=size)
+            for b in batch_sizes:
+                t0 = time.perf_counter()
+                img = jnp.zeros((b, size, size, 3), jnp.float32)
+                pm = jnp.zeros((b, size, size), jnp.float32)
+                alpha, matted = self(img, pm, options=opts)
+                jax.block_until_ready((alpha, matted))
+                timings[(size, b)] = round(time.perf_counter() - t0, 3)
+        return timings
+
     def __call__(self, image, prompt_mask, *, options: PipelineOptions,
                  coords=None, caption: Optional[Sequence[str]] = None):
         """image (B,H,W,3) or (H,W,3) in [0,1]; prompt_mask (B,H,W)/(H,W).

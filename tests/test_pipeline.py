@@ -168,3 +168,23 @@ def test_heavy_graph_survives_input_size_churn(tiny_pipe, rng):
         assert alpha.shape == (1, h, w)
     assert tiny_pipe._trace_counts["heavy"] <= 1
     assert tiny_pipe._trace_counts["pre"] == len(sizes)
+
+
+def test_pipeline_warmup_precompiles(rng):
+    """warmup() pays every compile up front: a subsequent real request at a
+    warmed (size, batch) re-traces NOTHING."""
+    cfg = SDMatteConfig.tiny()
+    pipe = MattingPipeline(sdmatte.init(cfg, seed=0), cfg, attn_impl="xla")
+    timings = pipe.warmup(sizes=(64,), batch_sizes=(1, 2),
+                          options=PipelineOptions(mask_refine=True))
+    assert set(timings) == {(64, 1), (64, 2)} and all(
+        t > 0 for t in timings.values())
+    # one heavy trace per batch size (graph is keyed on shapes)
+    assert pipe._trace_counts["heavy"] == 2
+    before = dict(pipe._trace_counts)
+    img = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    tri = np.ones((2, 64, 64), np.float32)
+    opts = PipelineOptions(inference_size=64, mask_refine=True)
+    alpha, _ = pipe(img, tri, options=opts)
+    assert alpha.shape == (2, 64, 64)
+    assert pipe._trace_counts == before
