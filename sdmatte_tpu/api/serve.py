@@ -12,7 +12,10 @@ Endpoints:
         {"image": <base64 PNG>, "trimap": <base64 PNG>,
          "inference_size": 1024, "output_mode": "alpha_only",
          "mask_refine": true, "trimap_constraint": 0.8,
-         "is_transparent": false}
+         "is_transparent": false,
+         "prompt_type": "trimap",       # |mask|bbox_mask|point_mask|auto_mask
+         "coords": [0, 0, 1, 1]}        # optional; REQUIRED for point_mask
+                                        # (x1,y1,x2,y2,... normalized)
       response: {"alpha": <base64 PNG>, "matted": <base64 PNG>, "ms": float}
 
 Concurrency model: requests are NOT lock-serialized one at a time — a
@@ -35,6 +38,7 @@ import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
 
 import numpy as np
 
@@ -78,10 +82,12 @@ class RequestTimeout(RuntimeError):
 class _Pending:
     """One queued request: inputs + a completion event the worker signals."""
 
-    __slots__ = ("img", "tri", "key", "opts", "done", "alpha", "matted", "err")
+    __slots__ = ("img", "tri", "key", "opts", "coords", "done", "alpha",
+                 "matted", "err")
 
-    def __init__(self, img, tri, key, opts):
+    def __init__(self, img, tri, key, opts, coords=None):
         self.img, self.tri, self.key, self.opts = img, tri, key, opts
+        self.coords = coords
         self.done = threading.Event()
         self.alpha = self.matted = self.err = None
 
@@ -119,7 +125,7 @@ class MicroBatcher:
         self._worker.start()
 
     def submit(self, img: np.ndarray, tri: np.ndarray,
-               opts: PipelineOptions):
+               opts: PipelineOptions, coords: Optional[np.ndarray] = None):
         """Blocking: returns (alpha, matted) numpy arrays for ONE image.
 
         Raises ServiceOverloaded when the queue is at capacity (the caller
@@ -129,9 +135,14 @@ class MicroBatcher:
         forever.  The batch key includes the TRIMAP shape: image and trimap
         are resized independently by the pipeline, so two requests with
         equal image sizes but different trimap sizes must not stack (a
-        mixed np.stack would fail the whole batch)."""
+        mixed np.stack would fail the whole batch).  ``coords`` is a
+        per-request (N,) prompt-coordinate vector; its length is part of
+        the key (coords VALUES are data and batch freely, their length is
+        a traced shape)."""
         item = _Pending(img, tri,
-                        (img.shape[0], img.shape[1], tri.shape, opts), opts)
+                        (img.shape[0], img.shape[1], tri.shape,
+                         None if coords is None else coords.shape, opts),
+                        opts, coords)
         with self._cv:
             if len(self._queue) >= self.max_queue:
                 METRICS.count("rejected_overload")
@@ -203,6 +214,12 @@ class MicroBatcher:
             try:
                 imgs = np.stack([x.img for x in batch])
                 tris = np.stack([x.tri for x in batch])
+                # coords batch as data (key guarantees one length); absent
+                # everywhere -> stay on the coords-free call so stub/legacy
+                # pipelines and the default graph are untouched
+                coords = None
+                if any(x.coords is not None for x in batch):
+                    coords = np.stack([x.coords for x in batch])
                 # pad the batch up to a power-of-two bucket: XLA compiles one
                 # heavy graph per batch SIZE, and traffic-dependent sizes
                 # (3, 5, 7...) would each pay a full model recompile at
@@ -217,8 +234,16 @@ class MicroBatcher:
                         [imgs, np.repeat(imgs[-1:], reps, axis=0)])
                     tris = np.concatenate(
                         [tris, np.repeat(tris[-1:], reps, axis=0)])
-                alpha, matted = self.pipeline(imgs, tris,
-                                              options=batch[0].opts)
+                    if coords is not None:
+                        coords = np.concatenate(
+                            [coords, np.repeat(coords[-1:], reps, axis=0)])
+                if coords is None:
+                    alpha, matted = self.pipeline(imgs, tris,
+                                                  options=batch[0].opts)
+                else:
+                    alpha, matted = self.pipeline(imgs, tris,
+                                                  options=batch[0].opts,
+                                                  coords=coords)
                 alpha = np.asarray(alpha)
                 matted = np.asarray(matted)
                 self.batch_calls += 1
@@ -293,6 +318,31 @@ class MattingService:
         mode = str(req.get("output_mode", "alpha_only"))
         if mode not in VALID_MODES:
             raise BadRequest(f"output_mode {mode!r} not in {VALID_MODES}")
+        from ..configs import AUX_INPUT_COORDS
+        prompt_type = str(req.get("prompt_type", "trimap"))
+        if prompt_type not in AUX_INPUT_COORDS:
+            raise BadRequest(f"prompt_type {prompt_type!r} not in "
+                             f"{sorted(AUX_INPUT_COORDS)}")
+        is_point = AUX_INPUT_COORDS[prompt_type] == "point_coords"
+        coords = req.get("coords")
+        if coords is not None:
+            try:
+                coords = np.asarray([float(v) for v in coords], np.float32)
+            except (TypeError, ValueError):
+                raise BadRequest(
+                    "coords must be a flat list of numbers") from None
+            if is_point:
+                if coords.size == 0 or coords.size % 2 or coords.size > 1680:
+                    raise BadRequest(
+                        f"point coords need a non-empty even-length list "
+                        f"(x1,y1,x2,y2,... <= 1680 values), got "
+                        f"{coords.size}")
+            elif coords.size != 4:
+                raise BadRequest(
+                    f"{prompt_type} coords must be [x0, y0, x1, y1], got "
+                    f"{coords.size} values")
+        elif is_point:
+            raise BadRequest(f"prompt_type {prompt_type!r} requires coords")
         try:
             tc = float(req.get("trimap_constraint", 0.8))
         except (TypeError, ValueError):
@@ -307,9 +357,11 @@ class MattingService:
             output_mode=mode,
             mask_refine=bool(req.get("mask_refine", True)),
             trimap_constraint=tc,
+            aux_input=prompt_type,
         )
         t0 = time.perf_counter()
-        alpha_np, matted_np = self.batcher.submit(img, tri, opts)
+        alpha_np, matted_np = self.batcher.submit(img, tri, opts,
+                                                  coords=coords)
         ms = (time.perf_counter() - t0) * 1e3
         METRICS.count("requests")
         METRICS.observe_ms("matte_e2e", ms)

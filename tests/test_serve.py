@@ -380,3 +380,82 @@ def test_non_numeric_params_are_400(server):
     code, body = _post(server + "/v1/matte",
                        dict(ok, trimap_constraint=[0.5]))
     assert code == 400 and "trimap_constraint" in body["error"]
+
+
+# ---- visual-prompt types over HTTP + coords batching ---------------------
+
+
+def test_prompt_type_bbox_over_http(server, rng):
+    img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    tri = rng.uniform(0, 1, (64, 64)).astype(np.float32)
+    code, body = _post(server + "/v1/matte", {
+        "image": _png_b64(img), "trimap": _png_b64(tri),
+        "inference_size": 64, "prompt_type": "bbox_mask",
+        "coords": [0.1, 0.1, 0.9, 0.8]})
+    assert code == 200 and "alpha" in body
+    code, body = _post(server + "/v1/matte", {
+        "image": _png_b64(img), "trimap": _png_b64(tri),
+        "inference_size": 64, "prompt_type": "point_mask",
+        "coords": [0.5, 0.5, 0.25, 0.75]})
+    assert code == 200 and "alpha" in body
+
+
+def test_prompt_type_validation_http(server, rng):
+    img = _png_b64(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+    tri = _png_b64(rng.uniform(0, 1, (32, 32)).astype(np.float32))
+    base = {"image": img, "trimap": tri, "inference_size": 64}
+    for bad in (
+        {"prompt_type": "telepathy"},                       # unknown type
+        {"prompt_type": "point_mask"},                      # missing coords
+        {"prompt_type": "point_mask", "coords": [0.5]},     # odd length
+        {"prompt_type": "bbox_mask", "coords": [0, 0, 1]},  # not 4 values
+        {"coords": ["a", "b", "c", "d"]},                   # non-numeric
+    ):
+        code, body = _post(server + "/v1/matte", dict(base, **bad))
+        assert code == 400, (bad, code, body)
+
+
+def test_microbatch_coords_batch_as_data():
+    """Same coords LENGTH coalesces into one call with per-request values;
+    coords-free requests have a different key and never stack with them."""
+    from sdmatte_tpu.api.serve import MicroBatcher
+    from sdmatte_tpu.pipeline import PipelineOptions
+
+    class _CoordStub(_StubPipeline):
+        def __init__(self):
+            super().__init__(per_call_s=0.02)
+            self.coords_seen = []
+
+        def __call__(self, imgs, tris, *, options, coords=None):
+            self.coords_seen.append(None if coords is None
+                                    else np.asarray(coords))
+            return super().__call__(imgs, tris, options=options)
+
+    stub = _CoordStub()
+    mb = MicroBatcher(stub, window_ms=60.0, max_batch=8)
+    opts = PipelineOptions(inference_size=64, aux_input="bbox_mask")
+    img = np.zeros((32, 32, 3), np.float32)
+    tri = np.zeros((32, 32), np.float32)
+    c1 = np.asarray([0.0, 0.0, 1.0, 1.0], np.float32)
+    c2 = np.asarray([0.2, 0.2, 0.8, 0.8], np.float32)
+
+    results = [None] * 3
+
+    def worker(i, coords):
+        results[i] = mb.submit(img, tri, opts, coords=coords)
+
+    threads = [threading.Thread(target=worker, args=(0, c1)),
+               threading.Thread(target=worker, args=(1, c2)),
+               threading.Thread(target=worker, args=(2, None))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mb.shutdown()
+
+    assert all(r is not None for r in results)
+    assert stub.calls == 2      # coords pair coalesced; coords-free separate
+    with_c = [c for c in stub.coords_seen if c is not None]
+    assert len(with_c) == 1 and with_c[0].shape == (2, 4)
+    assert {tuple(r) for r in with_c[0]} == {tuple(c1), tuple(c2)}
+    assert [c for c in stub.coords_seen if c is None] == [None]
