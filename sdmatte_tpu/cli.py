@@ -110,6 +110,7 @@ def _run_directory(pipe, args, opts, coords):
         groups.setdefault(key, []).append((stem, ipath, tpath))
 
     n_done = 0
+    used_batches: set = set()
     t0 = time.time()
     for key, items in groups.items():
         for i in range(0, len(items), args.batch):
@@ -117,7 +118,19 @@ def _run_directory(pipe, args, opts, coords):
             stems = [s for s, _, _ in chunk]
             imgs = np.stack([_load_image(p, 3) for _, p, _ in chunk])
             tris = np.stack([_load_image(p, 1)[..., 0] for _, _, p in chunk])
-            c = np.repeat(coords, len(chunk), axis=0) if coords is not None \
+            # The heavy graph compiles per batch SIZE (~40s each): a 9-image
+            # folder at --batch 8 would compile b=8 AND b=1.  Pad a short
+            # chunk (repeat the last pair, outputs sliced below) up to the
+            # smallest batch size this run already compiled — graph reuse
+            # for sub-second redundant compute; never pad when no reusable
+            # graph exists (a lone 3-image run stays a cheap b=3 compile).
+            reuse = [b for b in used_batches if b >= len(chunk)]
+            if len(chunk) < args.batch and reuse:
+                reps = min(reuse) - len(chunk)
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], reps, 0)])
+                tris = np.concatenate([tris, np.repeat(tris[-1:], reps, 0)])
+            used_batches.add(imgs.shape[0])
+            c = np.repeat(coords, imgs.shape[0], axis=0) if coords is not None \
                 else None
             alpha, matted = pipe(imgs, tris, options=opts, coords=c)
             alpha = np.asarray(alpha)

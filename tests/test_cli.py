@@ -73,3 +73,29 @@ def test_cli_batch_must_be_positive(tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["--image", "x", "--trimap", "y", "--out", "z",
                   "--batch", "0", "--tiny", "--cpu"])
+
+
+def test_cli_directory_remainder_pads_to_reuse_graph(tmp_path):
+    """A remainder chunk must reuse an already-compiled batch size instead
+    of compiling a new heavy graph (3 images at --batch 2 -> chunks 2 and
+    1->padded-to-2 -> ONE heavy trace)."""
+    import argparse
+    from sdmatte_tpu.configs import SDMatteConfig
+    from sdmatte_tpu.models import sdmatte
+    from sdmatte_tpu.pipeline import MattingPipeline, PipelineOptions
+
+    imgs, tris, outs = tmp_path / "imgs", tmp_path / "tris", tmp_path / "out"
+    imgs.mkdir(), tris.mkdir()
+    for i in range(3):
+        _write_pair(str(imgs / f"x{i}.png"), str(tris / f"x{i}.png"), seed=i)
+
+    cfg = SDMatteConfig.tiny()
+    pipe = MattingPipeline(sdmatte.init(cfg, seed=0), cfg, attn_impl="xla")
+    args = argparse.Namespace(image=str(imgs), trimap=str(tris),
+                              out=str(outs), matted_out=None, batch=2)
+    opts = PipelineOptions(inference_size=64, mask_refine=True)
+    rc = cli._run_directory(pipe, args, opts, None)
+    assert rc == 0
+    assert sorted(p.name for p in outs.iterdir()) == \
+        ["x0.png", "x1.png", "x2.png"]
+    assert pipe._trace_counts["heavy"] == 1   # remainder reused the b=2 graph
