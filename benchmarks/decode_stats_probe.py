@@ -15,6 +15,11 @@ and the recorded "5.1 ms ceiling" was base-vs-base noise.  Now the variant
 is AOT-compiled (lower().compile()) inside the patch so the traced graph
 really is stats-free; see RESULT below.
 
+RESULT (TPU v5e, 2026-08-18, fixed probe, 3x-interleaved medians):
+stats ceiling = 5.4 ms, 3.8% of b=1 decode (base ~143.5 ms vs nostats
+~138.1 ms under probe overhead).  All decoder GN reductions combined are
+worth at most 5.4 ms — producer-side stats fusion is closed negative.
+
 Run: nohup python -u benchmarks/decode_stats_probe.py > /tmp/dec_stats.log 2>&1 &
 """
 
