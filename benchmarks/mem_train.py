@@ -78,7 +78,12 @@ def main():
             fn = jax.jit(lambda p, o, b, _f=frozen, _r=remat, _tx=tx:
                          ptrain.train_step(p, o, b, cfg=cfg, tx=_tx,
                                            frozen=_f, remat=_r))
-            compiled = fn.lower(p_shapes, o_shapes, batch).compile()
+            try:
+                compiled = fn.lower(p_shapes, o_shapes, batch).compile()
+            except Exception as e:  # OOM at buffer assignment IS a datum
+                print(f"{label:28s} compile failed (likely HBM OOM): "
+                      f"{str(e)[:160]}", flush=True)
+                continue
             totals[label] = report(label, compiled)
 
     base = totals.get("frozen=off remat=off")
