@@ -25,11 +25,24 @@ from jax import lax
 from .dtypes import Policy, FP32
 
 
+def kernel_of(p, dtype):
+    """The layer's kernel in ``dtype``, transparently dequantizing int8
+    weight-STORAGE params (ops/quant.compress_tree_int8: ``kernel_i8`` +
+    per-output-channel ``kernel_s``).  The dequant traces into the consuming
+    graph, so the bf16 form is a temp that dies after its single use while
+    the resident copy stays int8 — XLA fuses convert+scale into one
+    elementwise pass."""
+    if "kernel_i8" in p:
+        w = p["kernel_i8"].astype(jnp.float32) * p["kernel_s"]
+        return w.astype(dtype)
+    return p["kernel"].astype(dtype)
+
+
 def linear(p, x, policy: Policy = FP32):
     """Matmul in compute dtype with fp32 MXU accumulation; the result is cast
     back to the compute dtype so activations never persist at fp32 under a
     bf16 policy (HBM footprint + fusion)."""
-    k = p["kernel"].astype(policy.compute_dtype)
+    k = kernel_of(p, policy.compute_dtype)
     y = jnp.dot(policy.cast_compute(x), k, preferred_element_type=policy.accum_dtype)
     if "bias" in p:
         y = y + p["bias"].astype(policy.accum_dtype)
@@ -54,7 +67,7 @@ def conv2d(p, x, *, stride: int = 1, padding=1, policy: Policy = FP32):
         return conv2d_int8(x, p["kernel_q"], p["kernel_scale"],
                            p.get("bias"), stride=stride, padding=padding,
                            out_dtype=policy.compute_dtype)
-    k = p["kernel"].astype(policy.compute_dtype)
+    k = kernel_of(p, policy.compute_dtype)
     if isinstance(padding, int):
         pad = [(padding, padding), (padding, padding)]
     else:
@@ -143,7 +156,7 @@ def upsample2x_conv(p, x, *, policy: Policy = FP32, mode: str | None = None):
     if mode == "base":
         u = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         return conv2d(p, u, policy=policy)
-    w = p["kernel"].astype(jnp.float32)
+    w = kernel_of(p, jnp.float32)
     t4 = jnp.asarray(_UP_T4, jnp.float32)
     xc = policy.cast_compute(x)
     if mode == "dilated":
@@ -221,7 +234,7 @@ def gn_silu_conv2d(p_norm, p_conv, x, *, groups: int = 32, eps: float = 1e-5,
     (prologue/epilogue), eliminating 2-3 full HBM round-trips per resnet
     branch that XLA only gets by fusing into its own conv.  Elsewhere the
     unfused composition runs (identical math)."""
-    k = p_conv["kernel"]
+    k = p_conv.get("kernel", p_conv.get("kernel_i8"))
     if (k.shape[0] == 3 and k.shape[1] == 3 and x.ndim == 4
             and "kernel_q" not in p_conv):
         from ..ops.dispatch import pallas_conv3x3_config
@@ -235,7 +248,9 @@ def gn_silu_conv2d(p_norm, p_conv, x, *, groups: int = 32, eps: float = 1e-5,
             # likewise the residual epilogue / channel-split mode
             a, dshift = group_norm_stats(p_norm, x, groups=groups, eps=eps)
             bias = p_conv["bias"] if "bias" in p_conv else None
-            return _dispatched_conv3x3(cfg, x, k, bias, policy=policy,
+            return _dispatched_conv3x3(cfg, x,
+                                       kernel_of(p_conv, policy.compute_dtype),
+                                       bias, policy=policy,
                                        affine=(a, dshift), residual=residual)
     h = silu(group_norm(p_norm, x, groups=groups, eps=eps))
     y = conv2d(p_conv, h, policy=policy)

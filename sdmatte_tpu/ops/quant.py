@@ -40,9 +40,60 @@ this hardware generation.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+# ------------------------------------------------- int8 weight STORAGE ---
+#
+# Distinct from the int8 COMPUTE path below (measured slower through both
+# XLA and Pallas on this toolchain — see module header): storage compression
+# keeps every matmul/conv in bf16 and only changes how the weights SIT in
+# HBM.  Each big kernel is held as int8 + a per-output-channel fp32 scale
+# and dequantized in-graph right at its (single) use site, so the bf16 form
+# is a short-lived temp while the resident footprint halves.  This is the
+# b>8 batch lever: the reference's weights occupy ~2.6 GB resident in bf16
+# (its own answer is fp16 autocast with fp32 weights resident,
+# sdmatte_nodes.py:355-358), and at 1024px each extra batch slot costs
+# ~1.4 GB of activation temps, so ~1.3 GB of freed weight HBM converts
+# directly into batch slots -> throughput (VERDICT r3 item 2).
+
+def compress_kernel_int8(w):
+    """fp kernel (conv HWIO or linear (in,out)) -> (int8 kernel, fp32
+    per-output-channel scale); symmetric, zero-point-free.  Runs on host
+    (numpy) so the bf16 form is never staged to the device."""
+    wf = np.asarray(w, np.float32)
+    amax = np.max(np.abs(wf), axis=tuple(range(wf.ndim - 1)))
+    scale = np.where(amax == 0, 1.0, amax / 127.0).astype(np.float32)
+    wq = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+    return wq, scale
+
+
+def compress_tree_int8(params, *, min_elems: int = 1 << 16):
+    """Replace every kernel with >= min_elems elements by int8 storage.
+
+    The compressed dict carries ``kernel_i8`` + ``kernel_s`` instead of
+    ``kernel``; use sites dequantize via core/nn.kernel_of.  Small tensors
+    (norms, biases, the 8-ch conv_in, aux_conv_in, the VAE's latent-moment
+    1x1 quant convs) stay fp — they are cheap and numerically load-bearing.
+    Dicts already carrying the int8 COMPUTE fields (``kernel_q``) are left
+    alone: that opt-in path needs its fp kernel untouched."""
+    def walk(node):
+        if isinstance(node, dict):
+            out = {k: walk(v) for k, v in node.items()}
+            k = out.get("kernel")
+            if (k is not None and "kernel_q" not in out
+                    and getattr(k, "ndim", 0) >= 2
+                    and int(np.prod(k.shape)) >= min_elems):
+                wq, s = compress_kernel_int8(k)
+                del out["kernel"]
+                out["kernel_i8"], out["kernel_s"] = wq, s
+            return out
+        return node
+    return walk(params)
 
 
 def quantize_weights_int8(w):

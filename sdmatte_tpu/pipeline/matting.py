@@ -51,7 +51,8 @@ class PipelineOptions:
 class MattingPipeline:
     def __init__(self, params, cfg: SDMatteConfig, *, policy: Policy = FP32,
                  attn_impl: str = "auto", tokenizer=None,
-                 vae_chunk: Optional[int] = None, vae_int8: bool = False):
+                 vae_chunk: Optional[int] = None, vae_int8: bool = False,
+                 weight_storage: str = "fp"):
         self.cfg = cfg
         self.policy = policy
         self.attn_impl = attn_impl
@@ -62,9 +63,40 @@ class MattingPipeline:
         # cross-stage scheduling) — so OFF by default; enable only when a
         # batch otherwise OOMs.
         self.vae_chunk = vae_chunk
-        # move params to device once, in compute dtype for the big tensors
-        self.params = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x, policy.param_dtype), params)
+        if weight_storage not in ("fp", "int8"):
+            raise ValueError(f"weight_storage must be 'fp' or 'int8', "
+                             f"got {weight_storage!r}")
+        self.weight_storage = weight_storage
+        # Text-tower residency: under the default all-aux gating the text
+        # encoder is never consumed by any stage (SURVEY.md §7 — the
+        # reference computes it and discards it, meta_arch.py:225-234 +
+        # replace.py:413-416; we already skip the compute), so its ~0.7 GB
+        # of params never need to be on the device at all.  HBM freed here
+        # converts straight into batch slots at 1024px.
+        params = dict(params)
+        text_unused = all(cfg.unet.use_encoder_hidden_states_list)
+        if text_unused and "text_encoder" in params:
+            params["text_encoder"] = {}
+        if weight_storage == "int8":
+            # int8 weight STORAGE, bf16 compute: kernels sit in HBM as
+            # int8 + per-channel scale and dequantize at their use site
+            # (core/nn.kernel_of) — halves resident weight HBM so larger
+            # batches fit unchunked (ops/quant.compress_tree_int8; distinct
+            # from the measured-slower int8 COMPUTE path).
+            from ..ops.quant import compress_tree_int8
+            params = {k: (compress_tree_int8(v) if k in ("unet", "vae")
+                          else v)
+                      for k, v in params.items()}
+        # move params to device once, in compute dtype for the big tensors;
+        # int8-stored kernels and their fp32 scales keep their own dtypes
+        # (casting the scale to bf16 would stack a second rounding on top
+        # of the int8 one)
+        def _stage(path, x):
+            name = getattr(path[-1], "key", None) if path else None
+            if name in ("kernel_i8", "kernel_s"):
+                return jnp.asarray(x)
+            return jnp.asarray(x, policy.param_dtype)
+        self.params = jax.tree_util.tree_map_with_path(_stage, params)
         if vae_int8:
             # opt-in speed mode: int8 3x3 VAE convs (2x MXU MAC rate);
             # quality budget measured by benchmarks/quality.py --vae-int8
