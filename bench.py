@@ -61,6 +61,41 @@ def main():
             print(f"bench{args} failed: {e}", file=sys.stderr)
             return None
 
+    def user_visible_p50(size=1024, iters=3, warmup=1):
+        """Secondary metric: the full serving path — base64+PNG decode,
+        host->device, pipeline, device->host, PNG+base64 encode — via the
+        real MattingService (api/serve.py).  On this dev host the D2H leg
+        rides the axon tunnel (~20 MB/s after a ~77 s first-fetch), so the
+        number is tunnel-inflated; on a real v5e host the gap vs the
+        device-compute p50 is PNG codec + PCIe only.  Published so the
+        latency conversation includes host costs (VERDICT r3 item 5)."""
+        import base64
+        from io import BytesIO
+        from PIL import Image
+        from sdmatte_tpu.api.serve import MattingService
+        svc = MattingService(pipe, window_ms=0.0)
+        try:
+            def png_b64(arr):
+                buf = BytesIO()
+                Image.fromarray(arr).save(buf, format="PNG")
+                return base64.b64encode(buf.getvalue()).decode()
+            req = {
+                "image": png_b64(rng.integers(0, 255, (size, size, 3),
+                                              dtype=np.uint8)),
+                "trimap": png_b64(rng.integers(0, 255, (size, size),
+                                               dtype=np.uint8)),
+                "inference_size": size,
+            }
+            times = []
+            for i in range(warmup + iters):
+                t0 = time.perf_counter()
+                svc.matte(req)
+                if i >= warmup:
+                    times.append(time.perf_counter() - t0)
+            return float(np.percentile(times, 50))
+        finally:
+            svc.batcher.shutdown()
+
     p50_512 = try_bench(512, 1)
     p50_768 = try_bench(768, 1, iters=4, output_mode="matted_rgba")  # BASELINE cfg 2
     p50_1024 = bench(1024, 1)  # the headline — a failure here IS a failed bench
@@ -78,6 +113,12 @@ def main():
             best_tp, best_batch = batch / t, batch
     throughput = best_tp
 
+    try:
+        uv_p50 = user_visible_p50()
+    except Exception as e:
+        print(f"user-visible bench failed: {e}", file=sys.stderr)
+        uv_p50 = None
+
     baseline_throughput = 1.0 / 0.150  # driver target: 150 ms p50 @ 1024px
     result = {
         "metric": "1024px_mattes_per_sec_per_chip",
@@ -87,6 +128,9 @@ def main():
         "p50_latency_512px_ms": round(p50_512 * 1e3, 1) if p50_512 else None,
         "p50_latency_768px_rgba_ms": round(p50_768 * 1e3, 1) if p50_768 else None,
         "p50_latency_1024px_ms": round(p50_1024 * 1e3, 1),
+        # full serving path (PNG+b64 decode, H2D, pipeline, D2H, PNG encode);
+        # tunnel-inflated on this dev host — see user_visible_p50 docstring
+        "user_visible_p50_1024px_ms": round(uv_p50 * 1e3, 1) if uv_p50 else None,
         "best_batch": best_batch,
         "throughput_per_batch": per_batch,
         "backend": jax.default_backend(),

@@ -81,9 +81,16 @@ def main():
             try:
                 compiled = fn.lower(p_shapes, o_shapes, batch).compile()
             except Exception as e:  # OOM at buffer assignment IS a datum
-                print(f"{label:28s} compile failed (likely HBM OOM): "
-                      f"{str(e)[:160]}", flush=True)
-                continue
+                msg = str(e)
+                if "RESOURCE_EXHAUSTED" in msg or "exceeds" in msg.lower():
+                    print(f"{label:28s} compile failed (HBM OOM): "
+                          f"{msg[:160]}", flush=True)
+                    continue
+                # anything else (tracing bug, toolchain error) is NOT an OOM
+                # datum — surface it loudly instead of mislabeling it
+                print(f"{label:28s} compile failed (UNEXPECTED, not OOM): "
+                      f"{msg[:400]}", flush=True)
+                raise
             totals[label] = report(label, compiled)
 
     base = totals.get("frozen=off remat=off")

@@ -73,6 +73,7 @@ def forward(
     policy: Policy = FP32,
     attn_impl: str = "auto",
     vae_chunk: Optional[int] = None,
+    vae_encode_split: Optional[bool] = None,
     return_intermediates: bool = False,
     remat: bool = False,
 ):
@@ -97,12 +98,26 @@ def forward(
     if cfg.use_aux_input:
         aux = data[aux_type]
         aux3 = jnp.repeat(aux, 3, axis=-1).astype(rgb.dtype)
-        both = jnp.concatenate([rgb, aux3], axis=0)
-        lat = _chunked(
-            lambda x: vae.encode(params["vae"], x, cfg.vae, policy=policy,
-                                 attn_impl=attn_impl),
-            both, vae_chunk)
-        rgb_latent, aux_latent = lat[:b], lat[b:]
+        enc = lambda x: vae.encode(params["vae"], x, cfg.vae,  # noqa: E731
+                                   policy=policy, attn_impl=attn_impl)
+        # concat-vs-split encode: one batched pass is cheaper (bigger
+        # matmuls, one schedule) but doubles the encoder's peak activation
+        # residency — at 1024px the stage-0 buffer is bf16[2B,S,S,128] and
+        # XLA keeps ~3 alive, which is what OOM'd every b>8 probe (three
+        # 6 GB buffers at concat-batch 18, benchmarks/ab_wstore.py r4; the
+        # batch dim also pads to a multiple of 8 in XLA's chosen layout, so
+        # odd concat batches pay up to 1.3x on top).  Two sequential passes
+        # halve the per-pass batch at identical math, unlocking b>8.
+        split = vae_encode_split
+        if split is None:
+            split = 2 * b > 16
+        if split:
+            rgb_latent = _chunked(enc, rgb, vae_chunk)
+            aux_latent = _chunked(enc, aux3, vae_chunk)
+        else:
+            lat = _chunked(enc, jnp.concatenate([rgb, aux3], axis=0),
+                           vae_chunk)
+            rgb_latent, aux_latent = lat[:b], lat[b:]
 
     # -- coordinate conditioning ------------------------------------------
     coords = data[AUX_INPUT_COORDS[aux_type]]

@@ -1,0 +1,330 @@
+"""One-command real-weight parity pack (VERDICT r3 item 4).
+
+    python -m sdmatte_tpu.parity_pack --ckpt /path/to/SDMatte.safetensors \
+        [--image img.png --trimap tri.png] [--size 512] [--out report.json]
+
+Everything a weights-capable host needs to validate this framework against
+the real checkpoint, in one cold run (this dev environment is zero-egress,
+so the 11 GB file has never been loaded here — the pack is how that gap
+closes the moment someone runs it where the file exists; reference load
+semantics at /root/reference/sdmatte_nodes.py:300-323):
+
+  1. **header-vs-manifest** — the checkpoint's safetensors header (plain
+     JSON, parsed with stdlib, no torch) diffed against the frozen expected
+     key/shape manifest (checkpoint/sdmatte_expected_keys.json).
+  2. **load report** — strict=False load into the initialized tree
+     (checkpoint/loader.py); missing/unexpected/mismatched must be zero
+     modulo documented ignorable buffers.
+  3. **transpose-sensitive statistics** — for every loaded tensor, three
+     layout signatures computed INDEPENDENTLY on the raw torch array and on
+     the converted tree leaf:
+       * per-output-channel means  (torch axis 0  <-> tree last axis)
+       * per-input-channel means   (torch axis 1  <-> tree axis -2 / conv 2)
+       * conv tap-position grid    (torch axes (2,3) <-> tree axes (0,1))
+     Plain moments are transpose-INVARIANT and catch nothing; these sliced
+     signatures break under any wrong permutation (HWOI, WHIO, flipped
+     taps, untransposed linear), detecting layout bugs with no goldens.
+  4. **golden dump** — fp32 CPU forward on a provided or synthetic
+     image/trimap pair; per-module activations to .npz for diffing against
+     a torch-side dump (benchmarks/golden.py documents the torch script).
+  5. **quality metrics** — SAD/MSE/Grad/Conn on the synthetic-composite set
+     (eval/), the in-repo stand-in for the paper's external numbers.
+
+``--emit-stats`` freezes stage-3 signatures to JSON on the weights host so
+later loader changes can be regression-checked against the real file
+without re-deriving anything (``--check-stats`` compares).
+
+CI proves the machinery end-to-end on a synthetic checkpoint (full key set
+or the tiny config — tests/test_parity_pack.py), including that a
+deliberately transposed tensor FAILS stage 3.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import struct
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+_IGNORABLE_SUFFIXES = ("position_ids", "num_batches_tracked")
+
+
+# ------------------------------------------------------------ stage 1 ---
+
+def read_header(path: str) -> Dict[str, tuple]:
+    """safetensors header -> {key: shape} with stdlib only (the 11 GB file
+    is never read past its JSON header)."""
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        hdr = json.loads(f.read(n))
+    return {k: tuple(v["shape"]) for k, v in hdr.items()
+            if k != "__metadata__"}
+
+
+def diff_keys(expected: Dict[str, tuple], actual: Dict[str, tuple]) -> list:
+    problems = []
+    for k, shp in expected.items():
+        if k not in actual:
+            problems.append(f"missing from ckpt: {k} {list(shp)}")
+        elif tuple(actual[k]) != tuple(shp):
+            problems.append(f"shape mismatch: {k} expected {list(shp)} "
+                            f"got {list(actual[k])}")
+    for k in actual:
+        if k not in expected and not k.endswith(_IGNORABLE_SUFFIXES):
+            problems.append(f"unexpected in ckpt: {k} {list(actual[k])}")
+    return problems
+
+
+# ------------------------------------------------------------ stage 3 ---
+
+def _torch_signatures(arr: np.ndarray) -> dict:
+    """Layout signatures of a tensor in TORCH layout (conv OIHW, linear
+    (out,in), 1-D as-is)."""
+    a = np.asarray(arr, np.float64)
+    sig = {"sum": float(a.sum()), "std": float(a.std())}
+    if a.ndim == 4:                                   # conv OIHW
+        sig["out_mean"] = a.mean(axis=(1, 2, 3))
+        sig["in_mean"] = a.mean(axis=(0, 2, 3))
+        sig["tap_grid"] = a.mean(axis=(0, 1))
+    elif a.ndim == 2:
+        sig["out_mean"] = a.mean(axis=1)
+        sig["in_mean"] = a.mean(axis=0)
+    return sig
+
+
+def _tree_signatures(leaf_name: str, arr: np.ndarray) -> dict:
+    """Same signatures computed from the CONVERTED tree leaf (conv HWIO,
+    linear (in,out), embeddings (vocab, dim) untransposed)."""
+    a = np.asarray(arr, np.float64)
+    sig = {"sum": float(a.sum()), "std": float(a.std())}
+    if a.ndim == 4:                                   # conv HWIO
+        sig["out_mean"] = a.mean(axis=(0, 1, 2))
+        sig["in_mean"] = a.mean(axis=(0, 1, 3))
+        sig["tap_grid"] = a.mean(axis=(2, 3))
+    elif a.ndim == 2:
+        if leaf_name == "embedding":                  # stays (vocab, dim)
+            sig["out_mean"] = a.mean(axis=1)
+            sig["in_mean"] = a.mean(axis=0)
+        else:                                         # linear (in,out)
+            sig["out_mean"] = a.mean(axis=0)
+            sig["in_mean"] = a.mean(axis=1)
+    return sig
+
+
+def check_loaded_stats(params, tensors: Dict[str, np.ndarray],
+                       *, rtol: float = 1e-3, atol: float = 1e-5) -> list:
+    """Cross-check every checkpoint tensor against its loaded tree leaf via
+    the transpose-sensitive signatures.  Returns a list of failures."""
+    from .checkpoint.loader import torch_key_to_path, _convert
+
+    failures = []
+    checked = 0
+    for key, raw in tensors.items():
+        if key.endswith(_IGNORABLE_SUFFIXES):
+            continue
+        path, leaf = torch_key_to_path(key)
+        leaf_name, _ = _convert(leaf, path, np.asarray(raw))
+        node = params
+        ok = True
+        for p in path:
+            if not isinstance(node, dict) or p not in node:
+                ok = False
+                break
+            node = node[p]
+        if not ok or not isinstance(node, dict) or leaf_name not in node:
+            continue                     # load report already covers these
+        want = _torch_signatures(raw)
+        got = _tree_signatures(leaf_name, node[leaf_name])
+        for name in want:
+            w, g = np.asarray(want[name]), np.asarray(got[name])
+            if w.shape != g.shape or not np.allclose(w, g, rtol=rtol,
+                                                     atol=atol):
+                failures.append(f"{key}: signature '{name}' mismatch "
+                                f"(layout transposition or corruption)")
+        checked += 1
+    if checked == 0:
+        failures.append("stats check matched zero tensors (wrong tree?)")
+    return failures
+
+
+def emit_stats(tensors: Dict[str, np.ndarray]) -> dict:
+    """Freeze torch-side signatures for regression without the file."""
+    out = {}
+    for key, raw in tensors.items():
+        sig = _torch_signatures(raw)
+        out[key] = {k: (v if isinstance(v, float) else
+                        np.asarray(v).round(9).tolist())
+                    for k, v in sig.items()}
+    return out
+
+
+def check_frozen_stats(tensors: Dict[str, np.ndarray], frozen: dict,
+                       *, rtol: float = 1e-6, atol: float = 1e-9) -> list:
+    failures = []
+    for key, sig in frozen.items():
+        if key not in tensors:
+            failures.append(f"frozen-stats key absent from ckpt: {key}")
+            continue
+        now = _torch_signatures(tensors[key])
+        for name, v in sig.items():
+            if not np.allclose(np.asarray(v), np.asarray(now[name]),
+                               rtol=rtol, atol=atol):
+                failures.append(f"{key}: frozen signature '{name}' drifted")
+    return failures
+
+
+# --------------------------------------------------------------- driver ---
+
+def run(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m sdmatte_tpu.parity_pack",
+        description="one-command real-weight parity validation")
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny CI config (synthetic-checkpoint self-test)")
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--image", default=None)
+    ap.add_argument("--trimap", default=None)
+    ap.add_argument("--golden-out", default="parity_golden.npz")
+    ap.add_argument("--out", default=None, help="write JSON report here")
+    ap.add_argument("--skip-quality", action="store_true")
+    ap.add_argument("--skip-golden", action="store_true")
+    ap.add_argument("--emit-stats", default=None,
+                    help="freeze torch-side tensor signatures to this JSON")
+    ap.add_argument("--check-stats", default=None,
+                    help="compare ckpt against a frozen signatures JSON")
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # fp32 CPU parity reference
+    from .configs import SDMatteConfig
+    from .checkpoint import manifest
+    from .checkpoint.loader import read_safetensors, load_sdmatte_checkpoint
+    from .models import sdmatte
+
+    cfg = SDMatteConfig.tiny() if args.tiny else SDMatteConfig()
+    report: dict = {"ckpt": args.ckpt, "tiny": args.tiny, "stages": {}}
+    failed = False
+
+    def stage(name, problems):
+        nonlocal failed
+        ok = not problems
+        report["stages"][name] = {"ok": ok, "problems": problems[:50]}
+        print(f"[parity_pack] {name}: "
+              f"{'OK' if ok else f'FAIL ({len(problems)} problems)'}",
+              flush=True)
+        for p in problems[:10]:
+            print(f"    {p}", flush=True)
+        failed = failed or not ok
+
+    # 1. header vs manifest
+    expected = manifest.expected_keys(cfg)
+    header = read_header(args.ckpt)
+    problems = diff_keys(expected, header)
+    if problems:
+        legacy = manifest.legacy_vae_attn_variant(expected)
+        if not diff_keys(legacy, header):
+            problems = []
+            report["stages"]["header_vs_manifest_note"] = \
+                "matched via legacy VAE attention key naming"
+    stage("header_vs_manifest", problems)
+
+    # 2. load report
+    params = sdmatte.init(cfg, seed=0)
+    params, lrep = load_sdmatte_checkpoint(params, args.ckpt)
+    problems = ([f"missing: {k}" for k in lrep.missing]
+                + [f"unexpected: {k}" for k in lrep.unexpected]
+                + [f"mismatched: {k} {a} vs {b}"
+                   for k, a, b in lrep.mismatched])
+    report["stages"]["load_summary"] = lrep.summary()
+    stage("load_report", problems)
+
+    # 3. transpose-sensitive statistics (+ optional frozen-stats modes)
+    tensors = read_safetensors(args.ckpt)
+    stage("layout_signatures", check_loaded_stats(params, tensors))
+    if args.emit_stats:
+        with open(args.emit_stats, "w") as f:
+            json.dump(emit_stats(tensors), f)
+        print(f"[parity_pack] froze signatures -> {args.emit_stats}",
+              flush=True)
+    if args.check_stats:
+        with open(args.check_stats) as f:
+            frozen = json.load(f)
+        stage("frozen_signatures", check_frozen_stats(tensors, frozen))
+
+    # 4. golden dump (fp32 CPU forward, per-module activations)
+    if not args.skip_golden:
+        from .core import imaging
+        import jax.numpy as jnp
+        s = args.size
+        if args.image and args.trimap:
+            from PIL import Image
+            img = np.asarray(Image.open(args.image).convert("RGB"),
+                             np.float32) / 255.0
+            tri = np.asarray(Image.open(args.trimap).convert("L"),
+                             np.float32) / 255.0
+            img = np.asarray(imaging.resize_bilinear(
+                jnp.asarray(img)[None], s, s, antialias=True))
+            tri = np.asarray(imaging.resize_bilinear(
+                jnp.asarray(tri)[None, ..., None], s, s, antialias=True))
+        else:
+            rng = np.random.default_rng(0)
+            yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+            img = np.stack([yy, xx, (yy + xx) / 2], -1)[None]
+            tri = np.where(yy < 0.4, 1.0, np.where(yy > 0.6, 0.0, 0.5)
+                           )[None, ..., None].astype(np.float32)
+        data = {
+            "image": jnp.asarray(img * 2.0 - 1.0, jnp.float32),
+            "trimap": jnp.asarray(tri * 2.0 - 1.0, jnp.float32),
+            "trimap_coords": jnp.asarray([[0, 0, 1, 1]], jnp.float32),
+            "is_trans": jnp.zeros((1,), jnp.float32),
+        }
+        alpha, inter = jax.jit(
+            lambda p, d: sdmatte.forward(p, cfg, d,
+                                         return_intermediates=True)
+        )(params, data)
+        dump = {"alpha": np.asarray(alpha)}
+        dump.update({k: np.asarray(v) for k, v in inter.items()
+                     if v is not None and not isinstance(v, (list, tuple))})
+        np.savez(args.golden_out, **dump)
+        report["stages"]["golden"] = {
+            "ok": bool(np.isfinite(dump["alpha"]).all()),
+            "out": args.golden_out,
+            "alpha_mean": float(dump["alpha"].mean())}
+        print(f"[parity_pack] golden dump -> {args.golden_out} "
+              f"(alpha mean {dump['alpha'].mean():.4f})", flush=True)
+        failed = failed or not report["stages"]["golden"]["ok"]
+
+    # 5. quality metrics on the synthetic-composite set
+    if not args.skip_quality:
+        from .eval import synthetic, metrics
+        from .pipeline import MattingPipeline, PipelineOptions
+        pipe = MattingPipeline(params, cfg)
+        size = min(args.size, 256) if not args.tiny else 64
+        rows = []
+        for i in range(2):
+            comp, tri, gt = synthetic.make_composite(size, seed=i)
+            a, _ = pipe(comp[None], tri[None],
+                        options=PipelineOptions(inference_size=size,
+                                                mask_refine=False))
+            rows.append(metrics.all_metrics(np.asarray(a)[0], gt,
+                                            trimap=tri))
+        agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+        report["stages"]["quality"] = {"ok": True, **agg}
+        print(f"[parity_pack] quality (synthetic, random-truth gate): "
+              f"{agg}", flush=True)
+
+    report["ok"] = not failed
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1, default=str)
+    print(f"[parity_pack] {'PASS' if not failed else 'FAIL'}", flush=True)
+    return 0 if not failed else 1
+
+
+if __name__ == "__main__":
+    sys.exit(run())

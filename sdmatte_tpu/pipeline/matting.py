@@ -52,7 +52,8 @@ class MattingPipeline:
     def __init__(self, params, cfg: SDMatteConfig, *, policy: Policy = FP32,
                  attn_impl: str = "auto", tokenizer=None,
                  vae_chunk: Optional[int] = None, vae_int8: bool = False,
-                 weight_storage: str = "fp"):
+                 weight_storage: str = "fp",
+                 vae_encode_split: Optional[bool] = None):
         self.cfg = cfg
         self.policy = policy
         self.attn_impl = attn_impl
@@ -63,6 +64,10 @@ class MattingPipeline:
         # cross-stage scheduling) — so OFF by default; enable only when a
         # batch otherwise OOMs.
         self.vae_chunk = vae_chunk
+        # None = auto: split the rgb/aux VAE encode into two passes when the
+        # concat batch would exceed 16 (the measured b>8 HBM cliff — see
+        # sdmatte.forward)
+        self.vae_encode_split = vae_encode_split
         if weight_storage not in ("fp", "int8"):
             raise ValueError(f"weight_storage must be 'fp' or 'int8', "
                              f"got {weight_storage!r}")
@@ -148,7 +153,8 @@ class MattingPipeline:
         alpha = sdmatte.forward(params, self.cfg, data,
                                 aux_input_type=aux_type, policy=self.policy,
                                 attn_impl=self.attn_impl,
-                                vae_chunk=self.vae_chunk)
+                                vae_chunk=self.vae_chunk,
+                                vae_encode_split=self.vae_encode_split)
         if isinstance(alpha, tuple):
             # cfg.use_dis_loss=True makes forward() return
             # (alpha, feature_maps) — a training-era hook (reference

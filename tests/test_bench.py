@@ -64,6 +64,22 @@ def bench_with_stub(monkeypatch):
 
     pl.MattingPipeline = FakePipe
     pl.PipelineOptions = FakeOpts
+
+    apipkg = types.ModuleType("sdmatte_tpu.api")
+    servemod = types.ModuleType("sdmatte_tpu.api.serve")
+
+    class FakeService:
+        def __init__(self, pipe, window_ms=0.0):
+            self.batcher = types.SimpleNamespace(shutdown=lambda: None)
+
+        def matte(self, req):
+            if "uv" in fail_sizes:
+                raise RuntimeError("simulated serve failure")
+            return {"ms": 1.0}
+
+    servemod.MattingService = FakeService
+    apipkg.serve = servemod
+
     pkg = types.ModuleType("sdmatte_tpu")
     stubs = {
         "jax": fake_jax, "jax.numpy": fake_jnp,
@@ -71,6 +87,7 @@ def bench_with_stub(monkeypatch):
         "sdmatte_tpu.core": core, "sdmatte_tpu.core.dtypes": dt,
         "sdmatte_tpu.core.nn": nnmod, "sdmatte_tpu.models": models,
         "sdmatte_tpu.models.sdmatte": smod, "sdmatte_tpu.pipeline": pl,
+        "sdmatte_tpu.api": apipkg, "sdmatte_tpu.api.serve": servemod,
     }
     for name, mod in stubs.items():
         monkeypatch.setitem(sys.modules, name, mod)
@@ -100,6 +117,17 @@ def test_bench_json_contract(bench_with_stub):
               "p50_latency_1024px_ms"):
         assert isinstance(res[k], float), (k, res[k])
     assert res["best_batch"] in (1, 4, 8)
+    # secondary user-visible (serving-path) latency rides the record
+    assert isinstance(res["user_visible_p50_1024px_ms"], float)
+
+
+def test_bench_user_visible_failure_degrades_to_null(bench_with_stub):
+    bench, fail_sizes = bench_with_stub
+    fail_sizes.add("uv")
+    res, err = _run_main(bench)
+    assert res["user_visible_p50_1024px_ms"] is None
+    assert isinstance(res["value"], float) and res["value"] > 0
+    assert "simulated serve failure" in err
 
 
 def test_bench_partial_failure_degrades_to_null(bench_with_stub):

@@ -11,6 +11,10 @@ from sdmatte_tpu.parallel.mesh import make_mesh, shard_batch, replicate
 from sdmatte_tpu.parallel import train as ptrain
 from sdmatte_tpu.parallel.video import matte_video
 
+# >60 s on the 1-core CI host: runs in the slow lane
+# (fast lane: pytest -m "not slow" — see .github/workflows/test.yml)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny():

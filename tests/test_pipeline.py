@@ -106,6 +106,30 @@ def test_vae_chunking_matches_unchunked(rng):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_vae_encode_split_matches_concat(rng):
+    """Split rgb/aux encode (the b>8 HBM lever) is numerically identical to
+    the concat-batched pass — same params, per-sample ops only."""
+    from sdmatte_tpu.configs import SDMatteConfig
+    from sdmatte_tpu.models import sdmatte
+    import jax
+    cfg = SDMatteConfig.tiny()
+    params = sdmatte.init(cfg, seed=0)
+    b, s = 2, 64
+    data = {
+        "image": jnp.asarray(rng.uniform(-1, 1, (b, s, s, 3)), jnp.float32),
+        "trimap": jnp.asarray(rng.uniform(-1, 1, (b, s, s, 1)), jnp.float32),
+        "trimap_coords": jnp.tile(jnp.asarray([[0.0, 0.0, 1.0, 1.0]]), (b, 1)),
+        "is_trans": jnp.zeros((b,), jnp.float32),
+    }
+    f_split = jax.jit(lambda p, d: sdmatte.forward(
+        p, cfg, d, attn_impl="xla", vae_encode_split=True))
+    f_concat = jax.jit(lambda p, d: sdmatte.forward(
+        p, cfg, d, attn_impl="xla", vae_encode_split=False))
+    np.testing.assert_allclose(np.asarray(f_split(params, data)),
+                               np.asarray(f_concat(params, data)),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_pipeline_caption_path(rng, tmp_path):
     """Text-conditioned gating end-to-end: tokenizer -> CLIP -> mid stage."""
     import json

@@ -27,6 +27,10 @@ import pytest
 torch = pytest.importorskip("torch")
 PIL = pytest.importorskip("PIL.Image")
 
+# >60 s on the 1-core CI host: runs in the slow lane
+# (fast lane: pytest -m "not slow" — see .github/workflows/test.yml)
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
 import run_workflow  # noqa: E402

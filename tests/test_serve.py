@@ -10,6 +10,10 @@ import numpy as np
 import pytest
 
 from sdmatte_tpu.configs import SDMatteConfig
+
+# >60 s on the 1-core CI host: runs in the slow lane
+# (fast lane: pytest -m "not slow" — see .github/workflows/test.yml)
+pytestmark = pytest.mark.slow
 from sdmatte_tpu.models import sdmatte
 from sdmatte_tpu.pipeline import MattingPipeline
 from sdmatte_tpu.api import serve as serve_mod
