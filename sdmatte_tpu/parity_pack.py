@@ -16,14 +16,20 @@ semantics at /root/reference/sdmatte_nodes.py:300-323):
      (checkpoint/loader.py); missing/unexpected/mismatched must be zero
      modulo documented ignorable buffers.
   3. **transpose-sensitive statistics** — for every loaded tensor, three
-     layout signatures computed INDEPENDENTLY on the raw torch array and on
-     the converted tree leaf:
+     layout signatures computed on the raw torch array and on the converted
+     tree leaf, with the axis correspondence hand-written here from the
+     documented torch conventions (Linear (out,in); Conv OIHW), NOT derived
+     from the loader:
        * per-output-channel means  (torch axis 0  <-> tree last axis)
        * per-input-channel means   (torch axis 1  <-> tree axis -2 / conv 2)
        * conv tap-position grid    (torch axes (2,3) <-> tree axes (0,1))
      Plain moments are transpose-INVARIANT and catch nothing; these sliced
-     signatures break under any wrong permutation (HWOI, WHIO, flipped
-     taps, untransposed linear), detecting layout bugs with no goldens.
+     signatures break under any loader-side mispermutation (HWOI, WHIO,
+     flipped taps, untransposed linear) with no goldens needed — the file
+     is ground truth, the loader is what can be wrong.  The residual blind
+     spot (loader and this check sharing one wrong belief about the torch
+     convention itself) is covered by the external manifest verifier's
+     diffusers/reference modes (tools/verify_manifest_external.py).
   4. **golden dump** — fp32 CPU forward on a provided or synthetic
      image/trimap pair; per-module activations to .npz for diffing against
      a torch-side dump (benchmarks/golden.py documents the torch script).
@@ -306,17 +312,16 @@ def run(argv=None) -> int:
         pipe = MattingPipeline(params, cfg)
         size = min(args.size, 256) if not args.tiny else 64
         rows = []
-        for i in range(2):
-            comp, tri, gt = synthetic.make_composite(size, seed=i)
-            a, _ = pipe(comp[None], tri[None],
+        for case in synthetic.make_eval_set(size)[:2]:
+            a, _ = pipe(case["image"][None], case["trimap"][None],
                         options=PipelineOptions(inference_size=size,
                                                 mask_refine=False))
-            rows.append(metrics.all_metrics(np.asarray(a)[0], gt,
-                                            trimap=tri))
+            rows.append(metrics.evaluate(np.asarray(a)[0], case["alpha_gt"],
+                                         trimap=case["trimap"]))
         agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
         report["stages"]["quality"] = {"ok": True, **agg}
-        print(f"[parity_pack] quality (synthetic, random-truth gate): "
-              f"{agg}", flush=True)
+        print(f"[parity_pack] quality (synthetic composites): {agg}",
+              flush=True)
 
     report["ok"] = not failed
     if args.out:
