@@ -39,6 +39,20 @@ CONFIGS = [
     ("v2", 512, 1024, 2),
     ("v1", 0, 0, 2),          # re-measure to bracket drift
 ]
+if len(sys.argv) > 1 and sys.argv[1] == "r4":
+    # VERDICT r3 item 3: decide v2-per-site dispatch on the PRODUCTION self
+    # shapes (bias present, lq == lk) at both b=1 latency and b=8 throughput
+    CASES = [
+        (1, 5, 16384, 16384, 64, True),   # self @1024px, b=1
+        (8, 5, 16384, 16384, 64, True),   # self @1024px, b=8 (headline)
+        (8, 10, 4096, 4096, 64, True),    # self @64^2 tokens, b=8
+    ]
+    CONFIGS = [
+        ("v1", 0, 0, 2),
+        ("v2", 512, 2048, 1),             # round-3 winner on self b=1 (+4%)
+        ("v2", 512, 2048, 2),
+        ("v1", 0, 0, 2),
+    ]
 REPS = 8
 
 

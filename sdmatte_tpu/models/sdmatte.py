@@ -74,6 +74,8 @@ def forward(
     attn_impl: str = "auto",
     vae_chunk: Optional[int] = None,
     vae_encode_split: Optional[bool] = None,
+    speed_aux_half: bool = False,
+    speed_decode_half: bool = False,
     return_intermediates: bool = False,
     remat: bool = False,
 ):
@@ -111,7 +113,21 @@ def forward(
         split = vae_encode_split
         if split is None:
             split = 2 * b > 16
-        if split:
+        if speed_aux_half:
+            # OPT-IN out-of-parity speed mode (never default): the aux mask
+            # is near-piecewise-constant, so encode it at S/2 and upsample
+            # the latent 2x — ~3/4 of the aux encode pass saved.  Quality
+            # delta measured per checkpoint by benchmarks/ab_speed_modes.py.
+            from ..core.imaging import resize_bilinear
+            s_full = aux3.shape[1]
+            aux_small = resize_bilinear(aux3, s_full // 2, aux3.shape[2] // 2,
+                                        antialias=True).astype(aux3.dtype)
+            rgb_latent = _chunked(enc, rgb, vae_chunk)
+            lat_small = _chunked(enc, aux_small, vae_chunk)
+            aux_latent = resize_bilinear(
+                lat_small, rgb_latent.shape[1], rgb_latent.shape[2],
+                antialias=False).astype(rgb_latent.dtype)
+        elif split:
             rgb_latent = _chunked(enc, rgb, vae_chunk)
             aux_latent = _chunked(enc, aux3, vae_chunk)
         else:
@@ -180,6 +196,15 @@ def forward(
     # -- decode + alpha head ----------------------------------------------
     z = label_latent.astype(policy.compute_dtype) / jnp.asarray(
         cfg.vae.scaling_factor, policy.compute_dtype)
+    if speed_decode_half:
+        # OPT-IN out-of-parity speed mode (never default): decode the alpha
+        # latent at half resolution (~3/4 of decode FLOPs saved — decode is
+        # the largest stage); the pipeline's resize-back upsamples the
+        # smaller alpha to the original size exactly as it would the full
+        # one.  Quality delta measured by benchmarks/ab_speed_modes.py.
+        from ..core.imaging import resize_bilinear
+        z = resize_bilinear(z, z.shape[1] // 2, z.shape[2] // 2,
+                            antialias=False).astype(z.dtype)
     decoded = _chunked(
         lambda zz: vae.decode(params["vae"], zz, cfg.vae, policy=policy,
                               attn_impl=attn_impl),

@@ -54,17 +54,27 @@ def attention(q, k, v, *, scale: float, bias=None, policy: Policy = FP32,
         # 16 GB HBM at batch>=12 @1024px (measured via compile-only
         # memory_analysis, benchmarks/mem_analysis.py).  Large operands
         # take the classic kernel (identical math, VPU row-sum l).
-        b, h, _, d = q.shape
+        b, h, lq, d = q.shape
         lk = k.shape[2]
-        variant = "auto"
+        variant, halves = "auto", 2
         # threshold 192 MiB: the b=12 stage-0 case (b=12, h=5, lk=16384 ->
         # 240 MiB padded-V) takes the classic path (HBM fit), while the
         # throughput-optimal b=8 case (168 MiB) keeps the slightly faster
         # fused-denominator kernel
         if d < 128 and b * h * lk * 256 > 192 * 1024 * 1024:
             variant = "classic"
+        elif bias is not None and d == 64 and lq == lk == 16384:
+            # per-site measured dispatch (VERDICT r3 item 3): the v2
+            # bias-in-dot kernel wins ONLY on the 16,384-token biased
+            # self-attention sites — flash_tune.py r4 (2026-08-18):
+            # b8h5: v2(h1) 36.61 ms vs v1 37.40/37.85 bracket (+2.7%);
+            # b1h5: wash inside drift (r3 measured +4%); 4096-token self
+            # and all cross shapes lose -> v1 everywhere else.  The
+            # memory gate above keeps v2's full-lane q/k/v temps out of
+            # large-batch graphs.
+            variant, halves = "v2", 1
         return flash_attention(q, k, v, scale=scale, bias=bias,
                                accum_dtype=policy.accum_dtype,
-                               variant=variant)
+                               variant=variant, halves=halves)
     return attention_xla(q, k, v, scale=scale, bias=bias,
                          accum_dtype=policy.accum_dtype)

@@ -126,8 +126,13 @@ def _kernel_d64_v2(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
     round-2 target; Mosaic's scheduler evidently already overlaps the
     VPU softmax with MXU work.  v2 wins only +4% there with halves=1
     (bias-in-dot alone), loses on the cross shape, and splitting chains
-    (halves>1) always loses — so "auto" keeps v1 and this kernel stays a
-    documented, tested negative result for future toolchains.
+    (halves>1) always loses.
+
+    ROUND 4 (flash_tune.py r4, 2026-08-18): re-swept on the production
+    shapes incl. b=8 — v2(halves=1) wins the biased 16,384-token self
+    sites at b=8 (36.61 vs 37.40/37.85 ms bracket) and washes at b=1;
+    4096-token self and cross lose.  ops/attention.py now dispatches v2
+    per-site on exactly that shape class; halves>1 stays a negative.
 
     Two tricks on top of the fused-denominator variant:
       * bias-in-dot: the K=64 contraction wastes half the MXU's 128-lane

@@ -53,7 +53,8 @@ class MattingPipeline:
                  attn_impl: str = "auto", tokenizer=None,
                  vae_chunk: Optional[int] = None, vae_int8: bool = False,
                  weight_storage: str = "fp",
-                 vae_encode_split: Optional[bool] = None):
+                 vae_encode_split: Optional[bool] = None,
+                 speed_mode: str = "off"):
         self.cfg = cfg
         self.policy = policy
         self.attn_impl = attn_impl
@@ -68,6 +69,14 @@ class MattingPipeline:
         # concat batch would exceed 16 (the measured b>8 HBM cliff — see
         # sdmatte.forward)
         self.vae_encode_split = vae_encode_split
+        # OPT-IN out-of-parity speed modes (VERDICT r3 item 8; never
+        # default): "aux_half" encodes the aux mask at S/2 + latent 2x
+        # upsample; "decode_half" decodes the alpha latent at half
+        # resolution; "fast" = both.  Quality deltas per checkpoint:
+        # benchmarks/ab_speed_modes.py.
+        if speed_mode not in ("off", "aux_half", "decode_half", "fast"):
+            raise ValueError(f"unknown speed_mode {speed_mode!r}")
+        self.speed_mode = speed_mode
         if weight_storage not in ("fp", "int8"):
             raise ValueError(f"weight_storage must be 'fp' or 'int8', "
                              f"got {weight_storage!r}")
@@ -154,7 +163,11 @@ class MattingPipeline:
                                 aux_input_type=aux_type, policy=self.policy,
                                 attn_impl=self.attn_impl,
                                 vae_chunk=self.vae_chunk,
-                                vae_encode_split=self.vae_encode_split)
+                                vae_encode_split=self.vae_encode_split,
+                                speed_aux_half=self.speed_mode in
+                                ("aux_half", "fast"),
+                                speed_decode_half=self.speed_mode in
+                                ("decode_half", "fast"))
         if isinstance(alpha, tuple):
             # cfg.use_dis_loss=True makes forward() return
             # (alpha, feature_maps) — a training-era hook (reference

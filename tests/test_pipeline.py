@@ -130,6 +130,26 @@ def test_vae_encode_split_matches_concat(rng):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("mode", ["aux_half", "decode_half", "fast"])
+def test_speed_modes_run_and_stay_bounded(rng, mode):
+    """Opt-in out-of-parity speed modes: correct shapes, finite output, and
+    a bounded deviation from the parity pipeline (the real quality gate is
+    benchmarks/ab_speed_modes.py per checkpoint — these pin the plumbing)."""
+    cfg = SDMatteConfig.tiny()
+    params = sdmatte.init(cfg, seed=0)
+    img = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    tri = rng.uniform(0, 1, (1, 64, 64)).astype(np.float32)
+    opts = PipelineOptions(inference_size=64, mask_refine=False)
+    base = MattingPipeline(params, cfg, attn_impl="xla")
+    fast = MattingPipeline(params, cfg, attn_impl="xla", speed_mode=mode)
+    a0, _ = base(img, tri, options=opts)
+    a1, m1 = fast(img, tri, options=opts)
+    assert a1.shape == a0.shape            # resize-back restores orig size
+    assert np.isfinite(np.asarray(a1)).all()
+    mae = float(np.abs(np.asarray(a1) - np.asarray(a0)).mean())
+    assert mae < 0.25, mae                 # random-weight sanity envelope
+
+
 def test_pipeline_caption_path(rng, tmp_path):
     """Text-conditioned gating end-to-end: tokenizer -> CLIP -> mid stage."""
     import json
