@@ -77,8 +77,8 @@ def main():
             mae = float(np.mean([np.abs(a - b).mean()
                                  for a, b in zip(alphas, base_alpha)]))
             dsad = float(np.mean(
-                [metrics.evaluate(a, c["alpha_gt"], trimap=c["trimap"])["sad"]
-                 - metrics.evaluate(b, c["alpha_gt"], trimap=c["trimap"])["sad"]
+                [metrics.evaluate(a, c["alpha_gt"], trimap=c["trimap"])["SAD"]
+                 - metrics.evaluate(b, c["alpha_gt"], trimap=c["trimap"])["SAD"]
                  for a, b, c in zip(alphas, base_alpha, cases)]))
             line += f"  | alpha MAE vs parity {mae:.4f}  dSAD {dsad:+.2f}"
         print(line, flush=True)

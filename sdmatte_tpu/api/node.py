@@ -58,14 +58,16 @@ def _resolve_config_dir() -> Optional[str]:
 
 
 def get_pipeline(ckpt_name: str, *, force_cpu: bool = False,
-                 policy_name: str = "bf16") -> MattingPipeline:
+                 policy_name: str = "bf16", speed_mode: str = "off",
+                 weight_storage: str = "fp") -> MattingPipeline:
     """Build-or-fetch the cached pipeline for a checkpoint."""
     models_dir = comfy_shim.register_default_dirs()
     ckpt_path = assets.download_model(
         ckpt_name, models_dir,
         search_paths=comfy_shim.get_folder_paths("SDMatte"))
     mtime = os.path.getmtime(ckpt_path)
-    key = (ckpt_path, mtime, force_cpu, policy_name)
+    key = (ckpt_path, mtime, force_cpu, policy_name, speed_mode,
+           weight_storage)
     if key in _PIPELINE_CACHE:
         return _PIPELINE_CACHE[key]
 
@@ -97,10 +99,13 @@ def get_pipeline(ckpt_name: str, *, force_cpu: bool = False,
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             pipe = MattingPipeline(params, cfg, policy=policy,
-                                   attn_impl="xla", tokenizer=tokenizer)
+                                   attn_impl="xla", tokenizer=tokenizer,
+                                   speed_mode=speed_mode,
+                                   weight_storage=weight_storage)
     else:
         pipe = MattingPipeline(params, cfg, policy=policy, attn_impl="auto",
-                               tokenizer=tokenizer)
+                               tokenizer=tokenizer, speed_mode=speed_mode,
+                               weight_storage=weight_storage)
     _PIPELINE_CACHE.clear()   # hold one model at a time (11 GB weights)
     _PIPELINE_CACHE[key] = pipe
     return pipe

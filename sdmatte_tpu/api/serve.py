@@ -441,6 +441,15 @@ def main(argv=None):
                          "startup (batch buckets 1..max_batch), e.g. "
                          "'512,1024' — first requests then skip the "
                          "compile stall")
+    ap.add_argument("--speed-mode", default="off",
+                    choices=["off", "aux_half", "decode_half", "fast"],
+                    help="OUT-OF-PARITY speed modes; deltas measured by "
+                         "benchmarks/ab_speed_modes.py")
+    ap.add_argument("--weight-storage", default="fp",
+                    choices=["fp", "int8"],
+                    help="int8 kernel residency (bf16 compute) — halves "
+                         "weight HBM, speed-neutral; frees room for more "
+                         "warm shape buckets")
     args = ap.parse_args(argv)
 
     if args.random_weights:
@@ -451,10 +460,14 @@ def main(argv=None):
         params = sdmatte.init(cfg, seed=0)
         pipe = MattingPipeline(params, cfg,
                                policy=FP32 if args.cpu else BF16,
-                               attn_impl="xla" if args.cpu else "auto")
+                               attn_impl="xla" if args.cpu else "auto",
+                               speed_mode=args.speed_mode,
+                               weight_storage=args.weight_storage)
     else:
         from .node import get_pipeline
-        pipe = get_pipeline(args.ckpt, force_cpu=args.cpu)
+        pipe = get_pipeline(args.ckpt, force_cpu=args.cpu,
+                            speed_mode=args.speed_mode,
+                            weight_storage=args.weight_storage)
     if args.warmup:
         sizes = tuple(int(s) for s in args.warmup.split(","))
         buckets, b = [], 1

@@ -184,6 +184,16 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true",
                     help="CI-size model, random weights (smoke-tests the "
                          "full CLI path in seconds)")
+    ap.add_argument("--speed-mode", default="off",
+                    choices=["off", "aux_half", "decode_half", "fast"],
+                    help="OUT-OF-PARITY speed modes (measured quality "
+                         "deltas: benchmarks/ab_speed_modes.py); never "
+                         "the default")
+    ap.add_argument("--weight-storage", default="fp",
+                    choices=["fp", "int8"],
+                    help="int8 = kernels resident as int8 + per-channel "
+                         "scale, bf16 compute (halves weight HBM; measured "
+                         "speed-neutral)")
     args = ap.parse_args(argv)
     if args.batch < 1:
         ap.error(f"--batch must be >= 1 (got {args.batch})")
@@ -218,7 +228,9 @@ def main(argv=None):
         cfg = SDMatteConfig.tiny() if args.tiny else SDMatteConfig()
         params = sdmatte.init(cfg, seed=0)
         pipe = MattingPipeline(params, cfg, policy=policy,
-                               attn_impl="xla" if args.cpu else "auto")
+                               attn_impl="xla" if args.cpu else "auto",
+                               speed_mode=args.speed_mode,
+                               weight_storage=args.weight_storage)
     else:
         from .api.node import get_pipeline
         if os.path.isfile(args.ckpt):
@@ -227,7 +239,9 @@ def main(argv=None):
                 "SDMatte", os.path.dirname(os.path.abspath(args.ckpt)))
             args.ckpt = os.path.basename(args.ckpt)
         pipe = get_pipeline(args.ckpt, force_cpu=args.cpu,
-                            policy_name="fp32" if args.fp32 else "bf16")
+                            policy_name="fp32" if args.fp32 else "bf16",
+                            speed_mode=args.speed_mode,
+                            weight_storage=args.weight_storage)
     print(f"[cli] model ready in {time.time() - t0:.1f}s", file=sys.stderr)
 
     opts = PipelineOptions(inference_size=args.size,
