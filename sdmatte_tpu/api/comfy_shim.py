@@ -16,6 +16,16 @@ except ImportError:
     _fp = None
     HAVE_COMFY = False
 
+def _model_management():
+    """Host device manager, resolved lazily (reference consults it per call,
+    sdmatte_nodes.py:258) — lazy so a ComfyUI host that finishes its own
+    imports after loading custom nodes is still picked up."""
+    try:
+        from comfy import model_management  # type: ignore
+        return model_management
+    except ImportError:
+        return None
+
 
 class _StandaloneRegistry:
     def __init__(self):
@@ -50,6 +60,42 @@ def get_folder_paths(kind: str) -> List[str]:
         return (_fp if HAVE_COMFY else _registry).get_folder_paths(kind) or []
     except Exception:
         return []
+
+
+def host_prefers_cpu() -> bool:
+    """True when a real ComfyUI host is present and its device manager
+    resolves compute to CPU (``--cpu`` launch, no accelerator).  The
+    reference asks ``comfy.model_management.get_torch_device()`` per call
+    (reference sdmatte_nodes.py:258-260); our compute runs on the TPU via
+    JAX, so the one actionable host signal is "this deployment is CPU-only"
+    — in that case the node honors it like an implicit ``force_cpu``.
+    Standalone (no ComfyUI): always False.
+    """
+    mm = _model_management()
+    if mm is None:
+        return False
+    try:
+        return getattr(mm.get_torch_device(), "type", None) == "cpu"
+    except Exception:
+        return False
+
+
+def soft_empty_cache() -> None:
+    """Release the host's torch device caches after a matte, mirroring the
+    reference's post-run ``torch.cuda.empty_cache()`` (reference
+    sdmatte_nodes.py:399-403) through the host's own policy hook.  Our
+    weights live in JAX buffers (invisible to torch), but the node hands
+    torch tensors back to the host — flushing through
+    ``comfy.model_management.soft_empty_cache`` keeps the host's VRAM
+    accounting identical to the reference plugin's.  No-op standalone.
+    """
+    mm = _model_management()
+    if mm is None:
+        return
+    try:
+        mm.soft_empty_cache()
+    except Exception:
+        pass
 
 
 def register_default_dirs():

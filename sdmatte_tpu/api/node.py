@@ -164,6 +164,10 @@ class SDMatteApply:
         if tri_np.ndim == 2:
             tri_np = tri_np[None]
 
+        # Honor the host's device manager like the reference does
+        # (sdmatte_nodes.py:258-260): a CPU-only ComfyUI deployment makes
+        # force_cpu implicit.  Standalone this is always a no-op.
+        force_cpu = bool(force_cpu) or comfy_shim.host_prefers_cpu()
         pipe = get_pipeline(ckpt_name, force_cpu=force_cpu)
         opts = PipelineOptions(
             inference_size=int(inference_size),
@@ -175,6 +179,10 @@ class SDMatteApply:
         alpha, matted = pipe(img_np, tri_np, options=opts)
         alpha_np = np.asarray(alpha, np.float32)
         matted_np = np.asarray(matted, np.float32)
+
+        # Mirror the reference's post-run cache flush through the host's
+        # policy hook (sdmatte_nodes.py:399-403); no-op outside ComfyUI.
+        comfy_shim.soft_empty_cache()
 
         try:
             import torch

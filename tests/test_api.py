@@ -131,3 +131,60 @@ def test_config_roundtrip_from_pretrained_dir(tmp_path):
     assert cfg.unet.cross_attention_dim == 32
     assert cfg.clip.num_layers == 2
     assert cfg.scheduler.steps_offset == 1
+
+
+# ------------------------------------------- host model_management shim ---
+
+def _fake_mm(device_type, calls):
+    import types
+    mm = types.ModuleType("comfy.model_management")
+
+    class _Dev:
+        type = device_type
+    mm.get_torch_device = lambda: _Dev()
+    mm.soft_empty_cache = lambda: calls.append("flush")
+    return mm
+
+
+def test_host_device_manager_integration(tiny_pipe, monkeypatch):
+    """Inside a (faked) ComfyUI host: a CPU-only deployment makes force_cpu
+    implicit, and the node flushes the host's cache after every matte —
+    mirroring reference sdmatte_nodes.py:258-260 and :399-403."""
+    import sys
+    from sdmatte_tpu.api import comfy_shim, node as node_mod
+
+    calls = []
+    comfy_pkg = type(sys)("comfy")
+    mm = _fake_mm("cpu", calls)
+    comfy_pkg.model_management = mm
+    monkeypatch.setitem(sys.modules, "comfy", comfy_pkg)
+    monkeypatch.setitem(sys.modules, "comfy.model_management", mm)
+
+    assert comfy_shim.host_prefers_cpu() is True
+    comfy_shim.soft_empty_cache()
+    assert calls == ["flush"]
+
+    seen = {}
+
+    def fake_get_pipeline(name, *, force_cpu=False, **kw):
+        seen["force_cpu"] = force_cpu
+        return tiny_pipe
+    monkeypatch.setattr(node_mod, "get_pipeline", fake_get_pipeline)
+    node = node_mod.SDMatteApply()
+    node.apply_matte("SDMatte.safetensors", torch.rand(1, 64, 64, 3),
+                     torch.rand(1, 64, 64), 64, False, "alpha_only",
+                     True, 0.8)
+    assert seen["force_cpu"] is True          # host CPU policy honored
+    assert calls[-1] == "flush"               # post-run cache flush
+
+    mm_gpu = _fake_mm("cuda", calls)
+    comfy_pkg.model_management = mm_gpu
+    monkeypatch.setitem(sys.modules, "comfy.model_management", mm_gpu)
+    assert comfy_shim.host_prefers_cpu() is False
+
+
+def test_host_manager_absent_is_noop():
+    """Standalone (no ComfyUI import available): both hooks are no-ops."""
+    from sdmatte_tpu.api import comfy_shim
+    assert comfy_shim.host_prefers_cpu() is False
+    comfy_shim.soft_empty_cache()  # must not raise
