@@ -9,6 +9,13 @@ and no relayouts, and the kernel won every decoder shape in isolation
 table to cover every decoder conv shape and times the whole decode.
 
 Run: nohup python -u benchmarks/ab_dec_pallas.py > /tmp/ab_dec.log 2>&1 &
+
+SVMEM_KIB env (2026-08-19): compile the decode with a raised PJRT
+scoped-VMEM limit (verified-honored channel, benchmarks/ab_xla_flags.py).
+The round-4 re-A/B that closed this negative ran at the default ~16 MB
+limit, which forced csplit on three shapes and blocked gn fusion at
+C>=256; SVMEM_KIB=65536 removes both constraints — TAGS=xla,pallas_fgn_all
+adds the everywhere-fused, csplit-free variant.  TAGS env picks configs.
 """
 
 import os
@@ -54,8 +61,13 @@ def timeit(fn, *args, iters=10, warmup=2):
     return float(np.median(times))
 
 
+SVMEM_KIB = os.environ.get("SVMEM_KIB")
+COMPILER_OPTIONS = (
+    {"xla_tpu_scoped_vmem_limit_kib": SVMEM_KIB} if SVMEM_KIB else None)
+
+
 def main():
-    print("backend:", jax.default_backend(), flush=True)
+    print("backend:", jax.default_backend(), "svmem:", SVMEM_KIB, flush=True)
     cfg = SDMatteConfig()
     pol = BF16
     params = jax.tree_util.tree_map(
@@ -65,16 +77,25 @@ def main():
 
     def dec_fn():
         return jax.jit(lambda p, z: vae.decode(p, z, cfg.vae, policy=pol,
-                                               attn_impl="flash"))
+                                               attn_impl="flash"),
+                       compiler_options=COMPILER_OPTIONS)
 
     saved = dict(dispatch.PALLAS_CONV_WINS)
     results = {}
-    for tag in ("xla", "pallas_all", "pallas_gn", "xla_2", "pallas_all_2"):
+    tags = tuple((os.environ.get("TAGS") or
+                  "xla,pallas_all,pallas_gn,xla_2,pallas_all_2").split(","))
+    for tag in tags:
         dispatch.PALLAS_CONV_WINS.clear()
         dispatch.PALLAS_CONV_WINS.update(saved)
         if tag.startswith("pallas"):
-            fuse = tag.startswith("pallas_gn")
+            fuse = tag.startswith(("pallas_gn", "pallas_fgn"))
             for shp, csplit in DEC_SHAPES.items():
+                if tag.startswith("pallas_fgn_all"):
+                    # raised-SVMEM variant: fuse gn AND residual everywhere,
+                    # no channel split (the full-C halo window now fits)
+                    dispatch.PALLAS_CONV_WINS[shp] = (9.9, 8, 128, True,
+                                                      True, 0)
+                    continue
                 # fgn only where the fp32 window temp fits (128ch @1024 and
                 # csplit halves; fused_tune showed C>=256 direct OOMs)
                 f = fuse and (shp[2] <= 128 or csplit)
@@ -91,10 +112,12 @@ def main():
     dispatch.PALLAS_CONV_WINS.clear()
     dispatch.PALLAS_CONV_WINS.update(saved)
 
-    x = min(results["xla"], results["xla_2"])
-    p = min(results["pallas_all"], results["pallas_all_2"])
-    print(f"\nall-pallas {p*1e3:.1f} vs xla {x*1e3:.1f} ({x/p:.2f}x); "
-          f"+gn-fusion {results['pallas_gn']*1e3:.1f}", flush=True)
+    xs = [results[t] for t in results if t.startswith("xla")]
+    ps = [results[t] for t in results if t.startswith("pallas")]
+    if xs and ps:
+        x, p = min(xs), min(ps)
+        print(f"\nbest-pallas {p*1e3:.1f} vs xla {x*1e3:.1f} "
+              f"({x/p:.2f}x)", flush=True)
 
 
 if __name__ == "__main__":

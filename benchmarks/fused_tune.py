@@ -15,7 +15,15 @@ in-graph chains (see conv_clean.py for the methodology):
 over candidate (block_rows, cout_block); OOM configs are caught and
 skipped.  Emits the winner per shape in dispatch-table form.
 
+SVMEM_KIB env var (2026-08-19): when set, every candidate compiles with
+PJRT ``compiler_options={"xla_tpu_scoped_vmem_limit_kib": SVMEM_KIB}`` —
+the verified-honored remote channel (benchmarks/ab_xla_flags.py).  The
+fgn/fgnres C>=256 negatives in the dispatch table were all measured under
+the default ~16 MB scoped-VMEM limit; this knob re-opens them.  Raised
+limits also unlock block_rows=32 candidates.
+
 Run: nohup python -u benchmarks/fused_tune.py > /tmp/fused_tune.log 2>&1 &
+     SVMEM_KIB=65536 python -u benchmarks/fused_tune.py 2,512,256 2,256,512
 """
 
 import os
@@ -44,6 +52,14 @@ SHAPES = [
 if len(sys.argv) > 1:
     SHAPES = [tuple(int(v) for v in arg.split(",")) for arg in sys.argv[1:]]
 REPS = 24
+
+SVMEM_KIB = os.environ.get("SVMEM_KIB")
+COMPILER_OPTIONS = (
+    {"xla_tpu_scoped_vmem_limit_kib": SVMEM_KIB} if SVMEM_KIB else None)
+
+
+def jit(f):
+    return jax.jit(f, compiler_options=COMPILER_OPTIONS)
 
 
 def measure_overhead():
@@ -92,7 +108,7 @@ def main():
                 preferred_element_type=jnp.float32).astype(jnp.bfloat16)
             return (h + y).astype(jnp.bfloat16) * 0.7
 
-        fx = jax.jit(lambda x: lax.fori_loop(0, REPS, lambda i, y: xla_step(y), x))
+        fx = jit(lambda x: lax.fori_loop(0, REPS, lambda i, y: xla_step(y), x))
         t_xla = timed(lambda: fx(x), overhead=oh)
         print(f"{b}x{s}^2 {c}ch: xla {t_xla*1e3:6.2f} ms "
               f"{fl/t_xla/1e12:6.1f} TF/s", flush=True)
@@ -100,9 +116,19 @@ def main():
 
         co_list = [coN for coN in (128, 256) if coN <= c and c % coN == 0] \
             or [c]   # 320ch (U-Net stage-0): no 128-divisor, tile whole Cout
-        cands = [(bh, coN) for bh in (8, 16) for coN in co_list]
+        bh_list = (8, 16, 32) if SVMEM_KIB else (8, 16)
+        # BH/CON/MODES env filters: each remote Mosaic compile is minutes,
+        # so targeted sweeps restrict the candidate grid.
+        if os.environ.get("BH"):
+            bh_list = tuple(int(v) for v in os.environ["BH"].split(","))
+        if os.environ.get("CON"):
+            co_list = [int(v) for v in os.environ["CON"].split(",")
+                       if int(v) <= c]
+        modes = tuple((os.environ.get("MODES") or "conv,fgn,fgnres")
+                      .split(","))
+        cands = [(bh, coN) for bh in bh_list for coN in co_list]
         for bh, coN in cands:
-            for mode in ("conv", "fgn", "fgnres"):
+            for mode in modes:
                 def step(y, mode=mode, bh=bh, coN=coN):
                     if mode == "conv":
                         h = conv3x3_same(gn_like(y, a, d), w,
@@ -116,7 +142,7 @@ def main():
                         h = conv3x3_same(y, w, affine=(a, d), residual=y,
                                          block_rows=bh, cout_block=coN)
                     return h * 0.7
-                fj = jax.jit(lambda x, step=step: lax.fori_loop(
+                fj = jit(lambda x, step=step: lax.fori_loop(
                     0, REPS, lambda i, y: step(y), x))
                 try:
                     t = timed(lambda: fj(x), overhead=oh)

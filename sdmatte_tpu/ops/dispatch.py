@@ -84,6 +84,69 @@ PALLAS_CONV_WINS: dict[tuple[int, int, int, int],
 
 _MIN_SPEEDUP = 1.05  # dispatch only on a clear win
 
+# --- raised scoped-VMEM tier (2026-08-19) ---------------------------------
+# The default ~16 MB scoped-VMEM limit is an XLA *assumption*, not a
+# hardware bound; the PJRT per-compile option below raises it (channel
+# verified honored by the remote compiler — benchmarks/ab_xla_flags.py:
+# a 4 MB limit slows decode 8%, an unknown option errors remotely, and
+# XLA-only graphs measure +-2% across 32/64/128 MB, i.e. raising it is
+# free for XLA while unlocking fused Pallas configs whose fp32 affine
+# window temps exceed 16 MB at C>=256).  Entries here are dispatched ONLY
+# while a `model_jit` graph is tracing, because their kernels fail to
+# compile at the default limit — a raw `jax.jit` of model code never sees
+# them.  Measured (benchmarks/fused_tune.py, SVMEM_KIB=65536, 2026-08-19):
+#   2x512^2 256ch: fgnres bh=8  4.83 ms vs dispatched conv 5.23 / xla 7.78
+#   2x256^2 512ch: fgnres bh=16 4.13 ms vs dispatched conv 4.30 / xla 6.32
+# The all-Pallas gn+res fused, csplit-free DECODE was also re-A/B'd under
+# 64 MB: 155 ms vs XLA 112-117 ms (0.72x) — the decoder stays XLA even
+# with every VMEM constraint removed (ab_dec_pallas.py TAGS=...fgn_all).
+# IN-GRAPH (benchmarks/ab_svmem_encode.py, twice-interleaved b=2 1024px
+# encode): overlay vs base 1.006x — the chain-level ~1.7 ms washes out in
+# context, as chain wins at these sizes often do.  Kept because it never
+# measured worse and the per-shape kernels beat XLA decisively in chains;
+# the option itself (svopt variant) is also in-graph neutral.
+SCOPED_VMEM_KIB = 65536
+PALLAS_CONV_WINS_SVMEM: dict[tuple[int, int, int, int],
+                             tuple[float, int, int, bool, bool, int]] = {
+    (2, 512, 256, 256): (1.61, 8, 128, True, True, 0),
+    (2, 256, 512, 512): (1.53, 16, 128, True, True, 0),
+}
+_SVMEM_TRACING = False
+
+
+def _svmem_enabled() -> bool:
+    return (not os.environ.get("SDMATTE_NO_SVMEM")
+            and jax.default_backend() == "tpu")
+
+
+def model_jit(fn, **jit_kwargs):
+    """jax.jit for first-party model graphs.
+
+    On TPU, compiles with the raised scoped-VMEM limit and — only while
+    this graph is tracing — activates the PALLAS_CONV_WINS_SVMEM overlay
+    entries whose fused kernels need that limit.  On CPU (or with
+    SDMATTE_NO_SVMEM=1, the A/B escape hatch) it is exactly jax.jit, and
+    user code that jits model functions directly never sees the overlay,
+    so it can never hit a scoped-VMEM compile failure.
+    """
+    if not _svmem_enabled():
+        return jax.jit(fn, **jit_kwargs)
+
+    def traced(*args, **kwargs):
+        global _SVMEM_TRACING
+        prev = _SVMEM_TRACING
+        _SVMEM_TRACING = True
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            _SVMEM_TRACING = prev
+
+    return jax.jit(
+        traced,
+        compiler_options={"xla_tpu_scoped_vmem_limit_kib":
+                          str(SCOPED_VMEM_KIB)},
+        **jit_kwargs)
+
 # The v3 kernel's host-side halo pad (jnp.pad) materializes a second
 # full-size copy of the activation that XLA cannot fuse into the custom
 # call.  Fine at b<=2 (<=0.6 GiB), fatal inside the b=8 throughput graph:
@@ -103,7 +166,9 @@ def pallas_conv3x3_config(b: int, h: int, w: int, cin: int, cout: int,
         return None
     if stride != 1 or not dtype_ok or h != w:
         return None
-    entry0 = PALLAS_CONV_WINS.get((b, h, cin, cout))
+    entry0 = (_SVMEM_TRACING
+              and PALLAS_CONV_WINS_SVMEM.get((b, h, cin, cout))) \
+        or PALLAS_CONV_WINS.get((b, h, cin, cout))
     br = entry0[1] if entry0 else 8
     borderless_ok = (h % br == 0 and w % 8 == 0 and h // br >= 2
                      and not os.environ.get("SDMATTE_CONV_V3"))

@@ -187,9 +187,10 @@ def make_sharded_train_step(mesh, cfg: SDMatteConfig, tx, *,
             batch, jax.tree_util.tree_map(batch_spec, batch))
         return step(params, opt_state, batch)
 
-    return jax.jit(wrapped,
-                   out_shardings=(repl, repl, repl),
-                   donate_argnums=(0, 1) if donate else ())
+    from ..ops.dispatch import model_jit
+    return model_jit(wrapped,
+                     out_shardings=(repl, repl, repl),
+                     donate_argnums=(0, 1) if donate else ())
 
 
 def train_loop(params, cfg: SDMatteConfig, *, steps: int, batch_size: int,

@@ -40,12 +40,13 @@ def matte_video(params, cfg: SDMatteConfig, frames, trimaps, *, mesh=None,
     def fwd(p, d):
         return sdmatte.forward(p, cfg, d, policy=policy, attn_impl=attn_impl)
 
+    from ..ops.dispatch import model_jit
     if mesh is None:
-        return jax.jit(fwd)(params, data)
+        return model_jit(fwd)(params, data)
 
     repl = NamedSharding(mesh, P())
     shard = lambda leaf: NamedSharding(mesh, data_spec(mesh, leaf.ndim))  # noqa: E731
     data = {k: jax.device_put(v, shard(v) if v.shape[0] == t else repl)
             for k, v in data.items()}
     params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
-    return jax.jit(fwd, out_shardings=shard(frames))(params, data)
+    return model_jit(fwd, out_shardings=shard(frames))(params, data)

@@ -212,10 +212,14 @@ class MattingPipeline:
 
     def _compiled_heavy(self, aux_type: str, has_text: bool):
         def build():
+            # model_jit: raised scoped-VMEM compile + the fused-conv
+            # dispatch overlay it unlocks (ops/dispatch.py) — exactly
+            # jax.jit on CPU or with SDMATTE_NO_SVMEM=1
+            from ..ops.dispatch import model_jit
             fn = functools.partial(self._heavy, aux_type=aux_type)
             if not has_text:
-                return jax.jit(lambda p, i, m, c, t: fn(p, i, m, c, t, None))
-            return jax.jit(fn)
+                return model_jit(lambda p, i, m, c, t: fn(p, i, m, c, t, None))
+            return model_jit(fn)
         return self._memo(self._heavy_cache, (aux_type, has_text), build, 16)
 
     def _compiled_post(self, orig_hw, output_mode: str, refine: bool,

@@ -152,3 +152,44 @@ def test_dispatch_pad_residency_guard(monkeypatch):
     monkeypatch.delenv("SDMATTE_CONV_V3")
     # small batches stay dispatched either way (pad copy ~0.5 GiB)
     assert disp.pallas_conv3x3_config(2, 1024, 1024, 128, 128) is not None
+
+
+def test_svmem_overlay_only_inside_model_jit(monkeypatch):
+    """The raised-scoped-VMEM dispatch tier (PALLAS_CONV_WINS_SVMEM) is
+    visible only while a model_jit graph traces: its fused kernels fail to
+    compile at XLA's default ~16 MB scoped-VMEM limit, so a raw jax.jit of
+    model code must never pick them up (ops/dispatch.py)."""
+    import jax as _jax
+    from sdmatte_tpu.ops import dispatch as disp
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+
+    shape = (2, 512, 256, 256)
+    assert shape in disp.PALLAS_CONV_WINS_SVMEM
+    base = disp.pallas_conv3x3_config(2, 512, 512, 256, 256)
+    overlay = disp.PALLAS_CONV_WINS_SVMEM[shape][1:]
+    assert base != overlay          # outside model_jit: base table only
+
+    seen = {}
+
+    def probe():
+        seen["cfg"] = disp.pallas_conv3x3_config(2, 512, 512, 256, 256)
+        return jnp.zeros(())
+
+    # model_jit on "tpu": overlay active during trace...
+    try:
+        disp.model_jit(probe).lower()
+    except Exception:
+        pass  # lowering may fail without a real TPU; the trace ran
+    assert seen.pop("cfg") == overlay
+    # ...and the flag is restored after tracing
+    assert disp._SVMEM_TRACING is False
+    probe()
+    assert seen["cfg"] == base
+
+    # escape hatch: SDMATTE_NO_SVMEM makes model_jit plain jax.jit
+    monkeypatch.setenv("SDMATTE_NO_SVMEM", "1")
+    try:
+        disp.model_jit(probe).lower()
+    except Exception:
+        pass
+    assert seen["cfg"] == base
