@@ -32,7 +32,8 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    def bench(size, batch, iters=8, warmup=2, output_mode="alpha_only"):
+    def bench(size, batch, iters=8, warmup=2, output_mode="alpha_only",
+              use_pipe=None):
         # inputs pre-staged on device: we measure chip compute, not the dev
         # tunnel's host->device bandwidth (irrelevant on a real v5e host)
         img = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 3)).astype(np.float32))
@@ -41,9 +42,10 @@ def main():
         opts = PipelineOptions(inference_size=size, output_mode=output_mode,
                                mask_refine=True)
         times = []
+        p = use_pipe or pipe
         for i in range(warmup + iters):
             t0 = time.perf_counter()
-            alpha, matted = pipe(img, tri, options=opts)
+            alpha, matted = p(img, tri, options=opts)
             # block_until_ready alone under-syncs on remote-tunnel backends;
             # a scalar device->host fetch forces the whole graph to finish.
             float(jnp.sum(alpha))
@@ -119,6 +121,22 @@ def main():
         print(f"user-visible bench failed: {e}", file=sys.stderr)
         uv_p50 = None
 
+    # Secondary, clearly-labeled OUT-OF-PARITY metric: best opt-in speed
+    # mode at the throughput config.  Never the default; quality deltas per
+    # mode/checkpoint are measured by benchmarks/ab_speed_modes.py and
+    # tabulated in docs/MIGRATING.md.  Shares the already-staged device
+    # params (pipe.params is the post-staging tree, so no second HBM copy).
+    def speed_mode_tp(mode, batch=8, iters=3):
+        fast_pipe = MattingPipeline(pipe.params, cfg, policy=BF16,
+                                    attn_impl="auto", speed_mode=mode)
+        return batch / bench(1024, batch, iters=iters, warmup=1,
+                             use_pipe=fast_pipe)
+    try:
+        fastest_tp = speed_mode_tp("fastest")
+    except Exception as e:
+        print(f"speed-mode bench failed: {e}", file=sys.stderr)
+        fastest_tp = None
+
     baseline_throughput = 1.0 / 0.150  # driver target: 150 ms p50 @ 1024px
     result = {
         "metric": "1024px_mattes_per_sec_per_chip",
@@ -131,6 +149,11 @@ def main():
         # full serving path (PNG+b64 decode, H2D, pipeline, D2H, PNG encode);
         # tunnel-inflated on this dev host — see user_visible_p50 docstring
         "user_visible_p50_1024px_ms": round(uv_p50 * 1e3, 1) if uv_p50 else None,
+        # OUT-OF-PARITY opt-in (speed_mode="fastest"): rgb+aux encoded at
+        # S/2 + latent upsample, decode at half res — measured quality
+        # deltas in docs/MIGRATING.md; never the default
+        "speed_mode_fastest_mattes_per_sec":
+            round(fastest_tp, 3) if fastest_tp else None,
         "best_batch": best_batch,
         "throughput_per_batch": per_batch,
         "backend": jax.default_backend(),

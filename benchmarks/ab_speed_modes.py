@@ -5,8 +5,10 @@ next step — OUT-OF-PARITY modes, never default-on, each with a measured
 speed factor and a measured deviation from the parity pipeline:
 
   aux_half     aux mask encoded at S/2, latent upsampled 2x
+  rgb_half     rgb image encoded at S/2, latent upsampled 2x
   decode_half  alpha latent decoded at half resolution
-  fast         both
+  fast         aux_half + decode_half
+  fastest      all three
 
 Speed is checkpoint-independent (same graphs).  The quality delta printed
 here is vs the parity pipeline ON THE SAME WEIGHTS: with --ckpt it is the
@@ -35,7 +37,8 @@ from sdmatte_tpu.pipeline import MattingPipeline, PipelineOptions  # noqa: E402
 from sdmatte_tpu.eval import synthetic, metrics  # noqa: E402
 from ab_bigbatch import bench  # noqa: E402
 
-MODES = ("off", "decode_half", "aux_half", "fast", "off")  # off brackets
+MODES = ("off", "decode_half", "aux_half", "rgb_half", "fast", "fastest",
+         "off")  # off brackets
 
 
 def main():

@@ -442,7 +442,8 @@ def main(argv=None):
                          "'512,1024' — first requests then skip the "
                          "compile stall")
     ap.add_argument("--speed-mode", default="off",
-                    choices=["off", "aux_half", "decode_half", "fast"],
+                    choices=["off", "aux_half", "rgb_half", "decode_half",
+                             "fast", "fastest"],
                     help="OUT-OF-PARITY speed modes; deltas measured by "
                          "benchmarks/ab_speed_modes.py")
     ap.add_argument("--weight-storage", default="fp",

@@ -185,7 +185,8 @@ def main(argv=None):
                     help="CI-size model, random weights (smoke-tests the "
                          "full CLI path in seconds)")
     ap.add_argument("--speed-mode", default="off",
-                    choices=["off", "aux_half", "decode_half", "fast"],
+                    choices=["off", "aux_half", "rgb_half", "decode_half",
+                             "fast", "fastest"],
                     help="OUT-OF-PARITY speed modes (measured quality "
                          "deltas: benchmarks/ab_speed_modes.py); never "
                          "the default")

@@ -75,6 +75,7 @@ def forward(
     vae_chunk: Optional[int] = None,
     vae_encode_split: Optional[bool] = None,
     speed_aux_half: bool = False,
+    speed_rgb_half: bool = False,
     speed_decode_half: bool = False,
     return_intermediates: bool = False,
     remat: bool = False,
@@ -90,6 +91,22 @@ def forward(
     aux_type = aux_input_type or cfg.aux_input
     rgb = data["image"]
     b = rgb.shape[0]
+
+    # OPT-IN out-of-parity speed-mode helpers (never default): encode an
+    # input at S/2 (antialiased downsample) and bilinearly upsample its
+    # latent 2x back to the full S/8 grid — ~3/4 of that encode pass saved.
+    # Quality deltas per mode/checkpoint: benchmarks/ab_speed_modes.py.
+    def _half(x):
+        from ..core.imaging import resize_bilinear
+        return resize_bilinear(x, x.shape[1] // 2, x.shape[2] // 2,
+                               antialias=True).astype(x.dtype)
+
+    def _to_latent_grid(lat):
+        from ..core.imaging import resize_bilinear
+        hl, wl = rgb.shape[1] // 8, rgb.shape[2] // 8
+        if lat.shape[1] == hl and lat.shape[2] == wl:
+            return lat
+        return resize_bilinear(lat, hl, wl, antialias=False).astype(lat.dtype)
 
     # -- latents (deterministic encode) ------------------------------------
     # The reference encodes rgb and the aux mask in two separate VAE passes
@@ -113,27 +130,20 @@ def forward(
         split = vae_encode_split
         if split is None:
             split = 2 * b > 16
-        if speed_aux_half:
-            # OPT-IN out-of-parity speed mode (never default): the aux mask
-            # is near-piecewise-constant, so encode it at S/2 and upsample
-            # the latent 2x — ~3/4 of the aux encode pass saved.  Quality
-            # delta measured per checkpoint by benchmarks/ab_speed_modes.py.
-            from ..core.imaging import resize_bilinear
-            s_full = aux3.shape[1]
-            aux_small = resize_bilinear(aux3, s_full // 2, aux3.shape[2] // 2,
-                                        antialias=True).astype(aux3.dtype)
-            rgb_latent = _chunked(enc, rgb, vae_chunk)
-            lat_small = _chunked(enc, aux_small, vae_chunk)
-            aux_latent = resize_bilinear(
-                lat_small, rgb_latent.shape[1], rgb_latent.shape[2],
-                antialias=False).astype(rgb_latent.dtype)
-        elif split:
-            rgb_latent = _chunked(enc, rgb, vae_chunk)
-            aux_latent = _chunked(enc, aux3, vae_chunk)
-        else:
-            lat = _chunked(enc, jnp.concatenate([rgb, aux3], axis=0),
+        # speed modes pick the encode resolution per input; when both inputs
+        # share a resolution and split isn't forced, one concat-batch pass
+        # keeps the parity-mode economics (bigger matmuls, one schedule)
+        rgb_src = _half(rgb) if speed_rgb_half else rgb
+        aux_src = _half(aux3) if speed_aux_half else aux3
+        if rgb_src.shape[1] == aux_src.shape[1] and not split:
+            lat = _chunked(enc, jnp.concatenate([rgb_src, aux_src], axis=0),
                            vae_chunk)
             rgb_latent, aux_latent = lat[:b], lat[b:]
+        else:
+            rgb_latent = _chunked(enc, rgb_src, vae_chunk)
+            aux_latent = _chunked(enc, aux_src, vae_chunk)
+        rgb_latent = _to_latent_grid(rgb_latent)
+        aux_latent = _to_latent_grid(aux_latent)
 
     # -- coordinate conditioning ------------------------------------------
     coords = data[AUX_INPUT_COORDS[aux_type]]
@@ -151,8 +161,9 @@ def forward(
 
     # -- rgb latent (only when no aux input shared the batched encode) -----
     if aux_latent is None:
-        rgb_latent = vae.encode(params["vae"], rgb, cfg.vae, policy=policy,
-                                attn_impl=attn_impl)
+        rgb_latent = _to_latent_grid(vae.encode(
+            params["vae"], _half(rgb) if speed_rgb_half else rgb, cfg.vae,
+            policy=policy, attn_impl=attn_impl))
 
     # -- cross-attention contexts -----------------------------------------
     aux_tokens = None

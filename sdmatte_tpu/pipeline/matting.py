@@ -71,10 +71,12 @@ class MattingPipeline:
         self.vae_encode_split = vae_encode_split
         # OPT-IN out-of-parity speed modes (VERDICT r3 item 8; never
         # default): "aux_half" encodes the aux mask at S/2 + latent 2x
-        # upsample; "decode_half" decodes the alpha latent at half
-        # resolution; "fast" = both.  Quality deltas per checkpoint:
-        # benchmarks/ab_speed_modes.py.
-        if speed_mode not in ("off", "aux_half", "decode_half", "fast"):
+        # upsample; "rgb_half" does the same for the rgb image;
+        # "decode_half" decodes the alpha latent at half resolution;
+        # "fast" = aux_half+decode_half; "fastest" = all three.  Quality
+        # deltas per checkpoint: benchmarks/ab_speed_modes.py.
+        if speed_mode not in ("off", "aux_half", "rgb_half", "decode_half",
+                              "fast", "fastest"):
             raise ValueError(f"unknown speed_mode {speed_mode!r}")
         self.speed_mode = speed_mode
         if weight_storage not in ("fp", "int8"):
@@ -165,9 +167,11 @@ class MattingPipeline:
                                 vae_chunk=self.vae_chunk,
                                 vae_encode_split=self.vae_encode_split,
                                 speed_aux_half=self.speed_mode in
-                                ("aux_half", "fast"),
+                                ("aux_half", "fast", "fastest"),
+                                speed_rgb_half=self.speed_mode in
+                                ("rgb_half", "fastest"),
                                 speed_decode_half=self.speed_mode in
-                                ("decode_half", "fast"))
+                                ("decode_half", "fast", "fastest"))
         if isinstance(alpha, tuple):
             # cfg.use_dis_loss=True makes forward() return
             # (alpha, feature_maps) — a training-era hook (reference

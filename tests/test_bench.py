@@ -49,6 +49,8 @@ def bench_with_stub(monkeypatch):
     pl = types.ModuleType("sdmatte_tpu.pipeline")
 
     class FakePipe:
+        params = {}
+
         def __init__(self, *a, **k):
             pass
 
@@ -119,6 +121,8 @@ def test_bench_json_contract(bench_with_stub):
     assert res["best_batch"] in (1, 4, 8)
     # secondary user-visible (serving-path) latency rides the record
     assert isinstance(res["user_visible_p50_1024px_ms"], float)
+    # secondary out-of-parity opt-in speed-mode throughput rides it too
+    assert isinstance(res["speed_mode_fastest_mattes_per_sec"], float)
 
 
 def test_bench_user_visible_failure_degrades_to_null(bench_with_stub):

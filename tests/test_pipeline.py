@@ -130,7 +130,8 @@ def test_vae_encode_split_matches_concat(rng):
                                atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("mode", ["aux_half", "decode_half", "fast"])
+@pytest.mark.parametrize("mode", ["aux_half", "rgb_half", "decode_half",
+                                  "fast", "fastest"])
 def test_speed_modes_run_and_stay_bounded(rng, mode):
     """Opt-in out-of-parity speed modes: correct shapes, finite output, and
     a bounded deviation from the parity pipeline (the real quality gate is
