@@ -63,21 +63,32 @@ def get_folder_paths(kind: str) -> List[str]:
 
 
 def host_prefers_cpu() -> bool:
-    """True when a real ComfyUI host is present and its device manager
-    resolves compute to CPU (``--cpu`` launch, no accelerator).  The
-    reference asks ``comfy.model_management.get_torch_device()`` per call
-    (reference sdmatte_nodes.py:258-260); our compute runs on the TPU via
-    JAX, so the one actionable host signal is "this deployment is CPU-only"
-    — in that case the node honors it like an implicit ``force_cpu``.
+    """True when a real ComfyUI host is present, its device manager resolves
+    compute to CPU (``--cpu`` launch, no accelerator), AND JAX itself has no
+    accelerator either.  The reference asks
+    ``comfy.model_management.get_torch_device()`` per call (reference
+    sdmatte_nodes.py:258-260), but that is only a valid device signal there
+    because its compute runs in torch — torch cannot see a TPU, so on the
+    primary deployment (ComfyUI launched with ``--cpu`` on a GPU-less TPU
+    VM) the host's torch device is CPU while the matte should still run on
+    the TPU.  The host signal therefore only implies ``force_cpu`` when the
+    JAX backend is also CPU (nothing to accelerate with); an explicit
+    ``force_cpu=True`` on the node remains the unconditional override.
     Standalone (no ComfyUI): always False.
     """
     mm = _model_management()
     if mm is None:
         return False
     try:
-        return getattr(mm.get_torch_device(), "type", None) == "cpu"
+        if getattr(mm.get_torch_device(), "type", None) != "cpu":
+            return False
     except Exception:
         return False
+    import jax
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return True  # host says CPU and JAX backend is broken: stay on CPU
 
 
 def soft_empty_cache() -> None:

@@ -405,7 +405,7 @@ def conv3x3_same_int8(xq, wq, scale_vec, b=None, *, block_rows: int = 0,
                           W=W, C=C, coN=coN),
         grid=(B, Hp // bh, Cout // coN),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec((3, 3 * C, coN), lambda b, i, co: (0, 0, co)),
             pl.BlockSpec((1, coN), lambda b, i, co: (0, co)),
             pl.BlockSpec((1, coN), lambda b, i, co: (0, co)),
@@ -468,7 +468,7 @@ def conv3x3_same(x, w, b=None, *, affine=None, residual=None,
                                  fuse_res=residual is not None)
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),       # stays in HBM
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),       # stays in HBM
         pl.BlockSpec((3, 3 * C, coN), lambda b, i, co: (0, 0, co)),
         pl.BlockSpec((1, coN), lambda b, i, co: (0, co)),
     ]

@@ -20,6 +20,7 @@ The reference has no analogue — its conv choice is whatever cuDNN picks
 
 from __future__ import annotations
 
+import contextvars
 import os
 
 import jax
@@ -111,7 +112,12 @@ PALLAS_CONV_WINS_SVMEM: dict[tuple[int, int, int, int],
     (2, 512, 256, 256): (1.61, 8, 128, True, True, 0),
     (2, 256, 512, 512): (1.53, 16, 128, True, True, 0),
 }
-_SVMEM_TRACING = False
+# ContextVar, not a module global: serve.py traces on a ThreadingHTTPServer
+# worker while the batcher thread may trace too — a raw jax.jit trace
+# concurrent with a model_jit trace must never pick up overlay entries whose
+# kernels only compile at the raised limit (ADVICE r4).
+_SVMEM_TRACING: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "sdmatte_svmem_tracing", default=False)
 
 
 def _svmem_enabled() -> bool:
@@ -133,13 +139,11 @@ def model_jit(fn, **jit_kwargs):
         return jax.jit(fn, **jit_kwargs)
 
     def traced(*args, **kwargs):
-        global _SVMEM_TRACING
-        prev = _SVMEM_TRACING
-        _SVMEM_TRACING = True
+        token = _SVMEM_TRACING.set(True)
         try:
             return fn(*args, **kwargs)
         finally:
-            _SVMEM_TRACING = prev
+            _SVMEM_TRACING.reset(token)
 
     return jax.jit(
         traced,
@@ -166,7 +170,7 @@ def pallas_conv3x3_config(b: int, h: int, w: int, cin: int, cout: int,
         return None
     if stride != 1 or not dtype_ok or h != w:
         return None
-    entry0 = (_SVMEM_TRACING
+    entry0 = (_SVMEM_TRACING.get()
               and PALLAS_CONV_WINS_SVMEM.get((b, h, cin, cout))) \
         or PALLAS_CONV_WINS.get((b, h, cin, cout))
     br = entry0[1] if entry0 else 8

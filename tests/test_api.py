@@ -183,6 +183,27 @@ def test_host_device_manager_integration(tiny_pipe, monkeypatch):
     assert comfy_shim.host_prefers_cpu() is False
 
 
+def test_host_cpu_does_not_override_tpu(monkeypatch):
+    """Host torch device == CPU must NOT imply force_cpu when JAX has an
+    accelerator: torch cannot see a TPU, so on a GPU-less TPU VM the host
+    always reports CPU while the matte should run on the TPU (ADVICE r4)."""
+    import sys
+    import jax
+    from sdmatte_tpu.api import comfy_shim
+
+    calls = []
+    comfy_pkg = type(sys)("comfy")
+    mm = _fake_mm("cpu", calls)
+    comfy_pkg.model_management = mm
+    monkeypatch.setitem(sys.modules, "comfy", comfy_pkg)
+    monkeypatch.setitem(sys.modules, "comfy.model_management", mm)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert comfy_shim.host_prefers_cpu() is False
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert comfy_shim.host_prefers_cpu() is True
+
+
 def test_host_manager_absent_is_noop():
     """Standalone (no ComfyUI import available): both hooks are no-ops."""
     from sdmatte_tpu.api import comfy_shim

@@ -4,9 +4,15 @@ The driver runs ``python bench.py`` unattended at the end of every round and
 records its single JSON line; these tests pin the contract:
 
   * exactly one JSON object on stdout with the required keys/types
+    (including the roofline fields — VERDICT r4 item 2)
   * a transient failure at a non-headline measurement (512/768 probes)
     degrades that field to null instead of losing the whole record
   * a failure at the 1024 px headline still fails hard
+  * the serving-path and speed-mode lanes run only under
+    SDMATTE_BENCH_EXTRAS=1 (off in the driver run — VERDICT r4 item 5)
+  * wall-clock budget exhaustion (SDMATTE_BENCH_BUDGET_S) skips remaining
+    non-headline lanes and still prints the record (VERDICT r4 item 1 —
+    round 4 lost its record to rc=124)
 """
 
 import contextlib
@@ -93,6 +99,8 @@ def bench_with_stub(monkeypatch):
     }
     for name, mod in stubs.items():
         monkeypatch.setitem(sys.modules, name, mod)
+    monkeypatch.delenv("SDMATTE_BENCH_EXTRAS", raising=False)
+    monkeypatch.delenv("SDMATTE_BENCH_BUDGET_S", raising=False)
     monkeypatch.delitem(sys.modules, "bench", raising=False)
     import bench
     yield bench, fail_sizes
@@ -119,17 +127,30 @@ def test_bench_json_contract(bench_with_stub):
               "p50_latency_1024px_ms"):
         assert isinstance(res[k], float), (k, res[k])
     assert res["best_batch"] in (1, 4, 8)
-    # secondary user-visible (serving-path) latency rides the record
+    # roofline context rides the machine-readable record (VERDICT r4 item 2)
+    assert res["model_tflop_per_matte"] == 28.0
+    assert isinstance(res["achieved_tflops"], float)
+    assert isinstance(res["mfu"], float) and res["mfu"] > 0
+    assert 0.9 < res["mfu_required_for_target"] < 1.0
+    # extra lanes are opt-in and absent by default (driver run)
+    assert "user_visible_p50_1024px_ms" not in res
+    assert "speed_mode_fastest_mattes_per_sec" not in res
+
+
+def test_bench_extras_lanes_opt_in(bench_with_stub, monkeypatch):
+    bench, _ = bench_with_stub
+    monkeypatch.setenv("SDMATTE_BENCH_EXTRAS", "1")
+    res, _ = _run_main(bench)
     assert isinstance(res["user_visible_p50_1024px_ms"], float)
-    # secondary out-of-parity opt-in speed-mode throughput rides it too
     assert isinstance(res["speed_mode_fastest_mattes_per_sec"], float)
 
 
-def test_bench_user_visible_failure_degrades_to_null(bench_with_stub):
+def test_bench_extras_failure_degrades(bench_with_stub, monkeypatch):
     bench, fail_sizes = bench_with_stub
+    monkeypatch.setenv("SDMATTE_BENCH_EXTRAS", "1")
     fail_sizes.add("uv")
     res, err = _run_main(bench)
-    assert res["user_visible_p50_1024px_ms"] is None
+    assert "user_visible_p50_1024px_ms" not in res
     assert isinstance(res["value"], float) and res["value"] > 0
     assert "simulated serve failure" in err
 
@@ -152,3 +173,32 @@ def test_bench_headline_failure_is_fatal(bench_with_stub):
         with contextlib.redirect_stdout(io.StringIO()), \
                 contextlib.redirect_stderr(io.StringIO()):
             bench.main()
+
+
+def test_bench_budget_exhaustion_still_prints_record(bench_with_stub,
+                                                     monkeypatch):
+    """Wall-clock budget exhaustion (the failure mode that lost round 4's
+    record) skips remaining non-headline lanes — the JSON still prints with
+    nulls instead of the process dying at the driver timeout."""
+    bench, _ = bench_with_stub
+    monkeypatch.setenv("SDMATTE_BENCH_EXTRAS", "1")
+    monkeypatch.setenv("SDMATTE_BENCH_BUDGET_S", "100")
+
+    # fake clock: the 1024 b=1 headline alone consumes the whole budget
+    clock = {"t": 0.0}
+
+    def fake_now():
+        clock["t"] += 60.0
+        return clock["t"]
+    monkeypatch.setattr(bench, "_now", fake_now)
+
+    res, err = _run_main(bench)
+    assert isinstance(res["p50_latency_1024px_ms"], float)   # headline ran
+    assert res["p50_latency_512px_ms"] is None               # lanes skipped
+    assert res["p50_latency_768px_rgba_ms"] is None
+    assert res["throughput_per_batch"] == {}
+    assert res["best_batch"] == 1
+    assert "user_visible_p50_1024px_ms" not in res           # extras skipped
+    assert "speed_mode_fastest_mattes_per_sec" not in res
+    assert isinstance(res["value"], float) and res["value"] > 0
+    assert "budget exhausted" in err

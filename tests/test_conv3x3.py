@@ -182,9 +182,31 @@ def test_svmem_overlay_only_inside_model_jit(monkeypatch):
         pass  # lowering may fail without a real TPU; the trace ran
     assert seen.pop("cfg") == overlay
     # ...and the flag is restored after tracing
-    assert disp._SVMEM_TRACING is False
+    assert disp._SVMEM_TRACING.get() is False
     probe()
     assert seen["cfg"] == base
+
+    # ContextVar isolation: a concurrent thread tracing a raw jax.jit while
+    # this thread is inside a model_jit trace must see the base table
+    # (serve.py: HTTP worker thread + batcher thread; ADVICE r4)
+    import threading
+    other = {}
+
+    def other_thread():
+        other["cfg"] = disp.pallas_conv3x3_config(2, 512, 512, 256, 256)
+
+    def probe_with_thread():
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+        return probe()
+
+    try:
+        disp.model_jit(probe_with_thread).lower()
+    except Exception:
+        pass
+    assert seen.pop("cfg") == overlay   # model_jit trace saw the overlay
+    assert other["cfg"] == base         # concurrent thread did not
 
     # escape hatch: SDMATTE_NO_SVMEM makes model_jit plain jax.jit
     monkeypatch.setenv("SDMATTE_NO_SVMEM", "1")

@@ -27,10 +27,6 @@ import pytest
 torch = pytest.importorskip("torch")
 PIL = pytest.importorskip("PIL.Image")
 
-# >60 s on the 1-core CI host: runs in the slow lane
-# (fast lane: pytest -m "not slow" — see .github/workflows/test.yml)
-pytestmark = pytest.mark.slow
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
 import run_workflow  # noqa: E402
@@ -45,9 +41,14 @@ def _reference_workflow():
     return js[0] if js else None
 
 
-pytestmark = pytest.mark.skipif(
-    _reference_workflow() is None,
-    reason="reference example_workflow not present on this host")
+pytestmark = [
+    # >60 s on the 1-core CI host: runs in the slow lane
+    # (fast lane: pytest -m "not slow" — see .github/workflows/test.yml)
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        _reference_workflow() is None,
+        reason="reference example_workflow not present on this host"),
+]
 
 
 @pytest.fixture(scope="module")
