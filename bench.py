@@ -154,10 +154,9 @@ def main():
             print(f"user-visible bench failed: {e}", file=sys.stderr)
 
     # OUT-OF-PARITY opt-in speed mode at the throughput config.  Never the
-    # default; per-mode quality deltas are measurable via
-    # benchmarks/ab_speed_modes.py (table in docs/MIGRATING.md; modes whose
-    # rows are not yet filled carry an UNMEASURED delta — re-measure with
-    # --ckpt on real weights).  Shares the already-staged device params.
+    # default; per-mode quality deltas measured by benchmarks/ab_speed_modes.py
+    # (full table in docs/MIGRATING.md — random-weight upper bounds; re-measure
+    # with --ckpt on real weights).  Shares the already-staged device params.
     fastest_tp = None
     if extras and within_budget("speed_mode"):
         try:
