@@ -10,10 +10,13 @@ throughput of 1/0.15 = 6.67 mattes/sec/chip.  vs_baseline = ours / 6.67
 (>1.0 beats the target).
 
 Timeout-proofing (VERDICT r4 item 1 — round 4's record was lost to rc=124):
-  * JAX_COMPILATION_CACHE_DIR is set HERE (before importing jax), so a
-    pre-warmed cache from an earlier same-host session is actually used;
-    previously only conftest/benchmarks set it and the driver's bench run
-    recompiled every graph over the dev tunnel (~4-5 min each).
+  * The persistent XLA executable cache is enabled by `import sdmatte_tpu`
+    (jax.config route — jax 0.9 silently ignores the
+    JAX_COMPILATION_CACHE_DIR env var, which is why four rounds of runs
+    recompiled every graph over the dev tunnel at ~4-5 min each).  The
+    env-var setdefault below only picks the directory; the package init
+    honors it.  A pre-warmed same-host cache turns this run ~30-60 min ->
+    ~9 min.
   * Lanes run headline-first: 1024px b=1, then the b=8 throughput config,
     then everything else — an internal wall-clock budget
     (SDMATTE_BENCH_BUDGET_S, default 1500 s) skips remaining non-headline

@@ -209,3 +209,19 @@ def test_host_manager_absent_is_noop():
     from sdmatte_tpu.api import comfy_shim
     assert comfy_shim.host_prefers_cpu() is False
     comfy_shim.soft_empty_cache()  # must not raise
+
+
+def test_package_import_enables_persistent_compile_cache():
+    """Regression guard for the round-5 discovery that jax 0.9 silently
+    ignores the JAX_COMPILATION_CACHE_DIR env var: importing sdmatte_tpu
+    must have set the jax config key (the only channel that works), so
+    every surface (CLI, node, serve, bench, driver entry) gets cross-run
+    executable caching.  Root cause of the round-4 bench timeout."""
+    import jax
+
+    import sdmatte_tpu  # noqa: F401  (already imported; idempotent)
+
+    cache_dir = jax.config.jax_compilation_cache_dir
+    assert cache_dir, "persistent compile cache not enabled at import"
+    assert "jax_comp_cache" in cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR") == cache_dir
