@@ -66,13 +66,18 @@ def main():
 
     t_start = _now()
     budget_s = float(os.environ.get("SDMATTE_BENCH_BUDGET_S", "1500"))
-    extras = bool(os.environ.get("SDMATTE_BENCH_EXTRAS"))
+    # Margin so a lane doesn't START with seconds left and then overshoot the
+    # external driver timeout mid-compile (SDMATTE_BENCH_MARGIN_S to tune).
+    margin_s = float(os.environ.get("SDMATTE_BENCH_MARGIN_S", "45"))
+    # strict flag parse: "0"/"false" means OFF (mirrors sdmatte_tpu.utils.env)
+    extras = os.environ.get("SDMATTE_BENCH_EXTRAS", "").strip().lower() \
+        in ("1", "true", "yes", "on")
 
     def within_budget(lane):
         """True if the lane may still start.  Skipped lanes degrade to null
         — only the 1024px headline is allowed to consume the whole budget."""
         left = budget_s - (_now() - t_start)
-        if left <= 0:
+        if left <= margin_s:
             print(f"budget exhausted ({budget_s:.0f}s): skipping {lane}",
                   file=sys.stderr)
             return False

@@ -28,7 +28,9 @@ def _enable_compilation_cache():
     never overrides a user's own jax config, opt-out via
     SDMATTE_NO_COMPILE_CACHE=1."""
     import os
-    if os.environ.get("SDMATTE_NO_COMPILE_CACHE"):
+
+    from .utils.env import env_flag
+    if env_flag("SDMATTE_NO_COMPILE_CACHE"):
         return
     import jax
     try:

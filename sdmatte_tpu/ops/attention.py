@@ -16,12 +16,11 @@ Shapes: q (B, H, Lq, D); k, v (B, H, Lk, D); bias (B, Lk) or None.
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 
 from ..core.dtypes import Policy, FP32
+from ..utils.env import env_flag
 
 _FLASH_MIN_SEQ = 1024  # below this the XLA path is faster than a kernel launch
 
@@ -66,7 +65,7 @@ def attention(q, k, v, *, scale: float, bias=None, policy: Policy = FP32,
         if d < 128 and b * h * lk * 256 > 192 * 1024 * 1024:
             variant = "classic"
         elif (bias is not None and d == 64 and lq == lk == 16384
-              and not os.environ.get("SDMATTE_NO_V2")):
+              and not env_flag("SDMATTE_NO_V2")):
             # per-site measured dispatch (VERDICT r3 item 3): the v2
             # bias-in-dot kernel wins ONLY on the 16,384-token biased
             # self-attention sites — flash_tune.py r4 (2026-08-18):

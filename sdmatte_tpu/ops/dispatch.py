@@ -25,6 +25,8 @@ import os
 
 import jax
 
+from ..utils.env import env_flag
+
 # (batch, spatial, cin, cout) ->
 #     (speedup vs XLA, block_rows, cout_block, fuse_gn, fuse_residual).
 # fuse_gn / fuse_residual: whether the GroupNorm-affine+SiLU prologue /
@@ -121,7 +123,7 @@ _SVMEM_TRACING: contextvars.ContextVar[bool] = contextvars.ContextVar(
 
 
 def _svmem_enabled() -> bool:
-    return (not os.environ.get("SDMATTE_NO_SVMEM")
+    return (not env_flag("SDMATTE_NO_SVMEM")
             and jax.default_backend() == "tpu")
 
 
@@ -166,7 +168,7 @@ def pallas_conv3x3_config(b: int, h: int, w: int, cin: int, cout: int,
                           *, stride: int = 1, dtype_ok: bool = True):
     """(block_rows, cout_block, fuse_gn, fuse_residual, csplit) when the
     Pallas kernel should take this shape, else None."""
-    if os.environ.get("SDMATTE_NO_PALLAS_CONV"):   # A/B + escape hatch
+    if env_flag("SDMATTE_NO_PALLAS_CONV"):   # A/B + escape hatch
         return None
     if stride != 1 or not dtype_ok or h != w:
         return None
@@ -175,7 +177,7 @@ def pallas_conv3x3_config(b: int, h: int, w: int, cin: int, cout: int,
         or PALLAS_CONV_WINS.get((b, h, cin, cout))
     br = entry0[1] if entry0 else 8
     borderless_ok = (h % br == 0 and w % 8 == 0 and h // br >= 2
-                     and not os.environ.get("SDMATTE_CONV_V3"))
+                     and not env_flag("SDMATTE_CONV_V3"))
     if not borderless_ok and b * h * w * cin * 2 > _PAD_RESIDENCY_LIMIT:
         return None
     if jax.default_backend() != "tpu":

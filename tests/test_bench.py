@@ -145,6 +145,17 @@ def test_bench_extras_lanes_opt_in(bench_with_stub, monkeypatch):
     assert isinstance(res["speed_mode_fastest_mattes_per_sec"], float)
 
 
+def test_bench_extras_zero_means_off(bench_with_stub, monkeypatch):
+    """SDMATTE_BENCH_EXTRAS=0 must NOT enable the extra lanes (strict flag
+    parse — a truthy-string check would read "0" as on and recreate the
+    round-4 compile load the gate exists to remove)."""
+    bench, _ = bench_with_stub
+    monkeypatch.setenv("SDMATTE_BENCH_EXTRAS", "0")
+    res, _ = _run_main(bench)
+    assert "user_visible_p50_1024px_ms" not in res
+    assert "speed_mode_fastest_mattes_per_sec" not in res
+
+
 def test_bench_extras_failure_degrades(bench_with_stub, monkeypatch):
     bench, fail_sizes = bench_with_stub
     monkeypatch.setenv("SDMATTE_BENCH_EXTRAS", "1")

@@ -23,7 +23,11 @@
 set -euo pipefail
 CKPT=${1:?usage: tools/day_one.sh /path/to/SDMatte.safetensors [outdir]}
 OUT=${2:-day_one_artifacts}
+# Resolve both to absolute paths BEFORE the cd below, so an invocation from
+# anywhere (relative checkpoint, default/relative outdir) keeps working.
+CKPT=$(readlink -f "$CKPT")
 mkdir -p "$OUT"
+OUT=$(readlink -f "$OUT")
 cd "$(dirname "$0")/.."
 
 echo "== 1/4 parity pack (manifest, load, layout, golden, quality) =="
