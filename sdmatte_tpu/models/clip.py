@@ -73,14 +73,14 @@ def apply(params, input_ids, cfg: CLIPTextConfig, *, policy: Policy = FP32):
 
 
 def init(cfg: CLIPTextConfig, seed: int = 0):
+    from ..core.init import lin_p, norm_p
+
     rng = np.random.default_rng(seed)
 
     def lin(cin, cout, std=0.02):
-        return {"kernel": np.asarray(rng.standard_normal((cin, cout)).astype(np.float32) * std),
-                "bias": np.zeros((cout,), np.float32)}
+        return lin_p(rng, cin, cout, std=std)
 
-    def norm(c):
-        return {"scale": np.ones((c,), np.float32), "bias": np.zeros((c,), np.float32)}
+    norm = norm_p
 
     c = cfg.hidden_size
     layers = {}

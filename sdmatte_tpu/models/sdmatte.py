@@ -53,11 +53,15 @@ def _coords_embed(cfg: SDMatteConfig, aux_type: str, coords: jnp.ndarray,
 def _chunked(fn, x, chunk: Optional[int]):
     """Apply ``fn`` over the batch axis in ``chunk``-sized groups via lax.map:
     caps peak activation memory for the huge pixel-space VAE stages so large
-    batches fit HBM (XLA compiles the body once).  Falls back to a single
-    pass when the batch doesn't divide."""
+    batches fit HBM (XLA compiles the body once).  When the batch doesn't
+    divide the requested chunk, the largest divisor that still fits is used
+    instead — silently running UNchunked would defeat the knob's only
+    purpose (the user set it because the full batch OOMs)."""
     b = x.shape[0]
-    if not chunk or b <= chunk or b % chunk != 0:
+    if not chunk or b <= chunk:
         return fn(x)
+    if b % chunk != 0:
+        chunk = max(c for c in range(1, chunk + 1) if b % c == 0)
     import jax
     xs = x.reshape(b // chunk, chunk, *x.shape[1:])
     ys = jax.lax.map(fn, xs)
@@ -91,6 +95,18 @@ def forward(
     aux_type = aux_input_type or cfg.aux_input
     rgb = data["image"]
     b = rgb.shape[0]
+
+    if not cfg.use_aux_input:
+        # Reference parity: use_aux_input=False is equally dead upstream —
+        # meta_arch.py:145-146 leaves aux_input_latent=None and :244 then
+        # crashes in torch.cat.  The 8-ch conv_in (conv_scale=2) also only
+        # exists because of the aux latent; supporting an aux-less forward
+        # would be a different (4-ch) architecture, not this checkpoint's.
+        # Fail loudly instead of with a confusing trace-time concat error.
+        raise NotImplementedError(
+            "use_aux_input=False has no working forward path (the reference "
+            "crashes identically, meta_arch.py:145-146,244); SDMatte "
+            "checkpoints require the aux latent")
 
     # OPT-IN out-of-parity speed-mode helpers (never default): encode an
     # input at S/2 (antialiased downsample) and bilinearly upsample its
@@ -159,15 +175,9 @@ def forward(
         latent_mask = m.reshape(b, -1)
     attention_mask = latent_mask if cfg.use_attention_mask else None
 
-    # -- rgb latent (only when no aux input shared the batched encode) -----
-    if aux_latent is None:
-        rgb_latent = _to_latent_grid(vae.encode(
-            params["vae"], _half(rgb) if speed_rgb_half else rgb, cfg.vae,
-            policy=policy, attn_impl=attn_impl))
-
     # -- cross-attention contexts -----------------------------------------
     aux_tokens = None
-    if cfg.use_encoder_hidden_states and aux_latent is not None:
+    if cfg.use_encoder_hidden_states:
         aux_tokens = unet.aux_tokens(params["unet"], aux_latent, cfg.unet,
                                      policy=policy)
     text_tokens = None

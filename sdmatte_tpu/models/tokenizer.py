@@ -153,7 +153,13 @@ class CLIPTokenizer:
             if seg == "<|endoftext|>":
                 ids.append(self.eos_token_id)
                 continue
-            seg = _whitespace_clean(html.unescape(seg)).lower()
+            # Double-unescape matches the SD2.1 training lineage (open_clip's
+            # basic_clean, and transformers-with-ftfy which fixes entities to
+            # a fixpoint): 'cat &amp;amp; dog' -> 'cat & dog'.  Note that
+            # transformers WITHOUT ftfy installed performs no unescape at
+            # all — that fork exists upstream, and the checkpoint was trained
+            # on the unescaped side of it.
+            seg = _whitespace_clean(html.unescape(html.unescape(seg))).lower()
             for tok in _split_words(seg):
                 tok_bytes = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
                 ids.extend(self.encoder.get(t, self.unk_token_id)

@@ -331,21 +331,10 @@ def aux_tokens(params, aux_latent, cfg: UNetConfig, *, policy: Policy = FP32):
 
 
 # ------------------------------------------------------------------- init ---
-
-def _lin_p(rng, cin, cout, std=0.02, bias=True):
-    p = {"kernel": np.asarray(rng.standard_normal((cin, cout)).astype(np.float32) * std)}
-    if bias:
-        p["bias"] = np.zeros((cout,), np.float32)
-    return p
-
-
-def _conv_p(rng, cin, cout, k=3, std=0.02):
-    return {"kernel": np.asarray(rng.standard_normal((k, k, cin, cout)).astype(np.float32) * std),
-            "bias": np.zeros((cout,), np.float32)}
-
-
-def _norm_p(c):
-    return {"scale": np.ones((c,), np.float32), "bias": np.zeros((c,), np.float32)}
+# shared leaf layouts: one definition across vae/unet/clip (core/init.py)
+from ..core.init import conv_p as _conv_p      # noqa: E402
+from ..core.init import lin_p as _lin_p        # noqa: E402
+from ..core.init import norm_p as _norm_p      # noqa: E402
 
 
 def _attn_p(rng, c, ctx_dim):

@@ -44,12 +44,13 @@ the winner table consulted by core/nn.conv2d).  Constraints: NHWC, kernel
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.env import env_flag
 
 
 def _kernel_v5(x_hbm, w_ref, b_ref, *rest, bh: int, nI: int,
@@ -392,6 +393,10 @@ def conv3x3_same_int8(xq, wq, scale_vec, b=None, *, block_rows: int = 0,
     abh, acoN = _pick_blocks(W, C, Cout, 1)
     bh = block_rows or abh
     coN = cout_block or acoN
+    if Cout % coN:
+        # the grid floor-divides Cout: a non-divisor block would silently
+        # leave channels [Cout//coN*coN:] as uninitialized output memory
+        raise ValueError(f"cout_block={coN} must divide Cout={Cout}")
     Hp = -(-H // bh) * bh
     Wp = -(-(W + 2) // 8) * 8
     xp = jnp.pad(xq, ((0, 0), (1, 1 + (Hp - H)), (1, Wp - W - 1), (0, 0)))
@@ -443,13 +448,17 @@ def conv3x3_same(x, w, b=None, *, affine=None, residual=None,
                              fuse_res=residual is not None)
     bh = block_rows or abh
     coN = cout_block or acoN
+    if Cout % coN:
+        # the grid floor-divides Cout: a non-divisor block would silently
+        # leave channels [Cout//coN*coN:] as uninitialized output memory
+        raise ValueError(f"cout_block={coN} must divide Cout={Cout}")
     # (3, 3C, Cout): contraction index = dx*C + c (lane-concat order)
     wcat = w.reshape(3, 3 * C, Cout)
     bias = jnp.zeros((1, Cout), jnp.float32) if b is None else \
         b.astype(jnp.float32).reshape(1, Cout)
 
     borderless = (H % bh == 0 and W % 8 == 0 and H // bh >= 2
-                  and not os.environ.get("SDMATTE_CONV_V3"))
+                  and not env_flag("SDMATTE_CONV_V3"))
     if borderless:
         # v5: x stays unpadded in HBM — the halo is synthesized in-kernel
         # (see _kernel_v5); kills the jnp.pad full-copy residency + traffic

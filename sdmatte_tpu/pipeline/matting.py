@@ -93,6 +93,16 @@ class MattingPipeline:
         text_unused = all(cfg.unet.use_encoder_hidden_states_list)
         if text_unused and "text_encoder" in params:
             params["text_encoder"] = {}
+        if vae_int8:
+            # opt-in speed mode: int8 3x3 VAE convs (2x MXU MAC rate);
+            # quality budget measured by benchmarks/quality.py --vae-int8.
+            # Must run BEFORE int8 weight storage: compress_tree_int8
+            # replaces "kernel" with "kernel_i8", which would hide every
+            # large VAE conv from quantize_vae_tree's "kernel" check and
+            # silently drop the requested int8 compute (compress skips
+            # kernel_q dicts, so this order composes).
+            from ..ops.quant import quantize_vae_tree
+            params["vae"] = quantize_vae_tree(params["vae"])
         if weight_storage == "int8":
             # int8 weight STORAGE, bf16 compute: kernels sit in HBM as
             # int8 + per-channel scale and dequantize at their use site
@@ -104,21 +114,15 @@ class MattingPipeline:
                           else v)
                       for k, v in params.items()}
         # move params to device once, in compute dtype for the big tensors;
-        # int8-stored kernels and their fp32 scales keep their own dtypes
-        # (casting the scale to bf16 would stack a second rounding on top
-        # of the int8 one)
+        # int8 kernels (stored OR compute) and their fp32 scales keep their
+        # own dtypes (casting a scale to bf16 would stack a second rounding
+        # on top of the int8 one)
         def _stage(path, x):
             name = getattr(path[-1], "key", None) if path else None
-            if name in ("kernel_i8", "kernel_s"):
+            if name in ("kernel_i8", "kernel_s", "kernel_q", "kernel_scale"):
                 return jnp.asarray(x)
             return jnp.asarray(x, policy.param_dtype)
         self.params = jax.tree_util.tree_map_with_path(_stage, params)
-        if vae_int8:
-            # opt-in speed mode: int8 3x3 VAE convs (2x MXU MAC rate);
-            # quality budget measured by benchmarks/quality.py --vae-int8
-            from ..ops.quant import quantize_vae_tree
-            self.params = dict(self.params)
-            self.params["vae"] = quantize_vae_tree(self.params["vae"])
         # traces per graph kind (observability + the recompile-bound tests)
         self._trace_counts = {"pre": 0, "heavy": 0, "post": 0}
         self._pre_cache: dict = {}

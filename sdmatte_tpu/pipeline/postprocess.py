@@ -41,6 +41,13 @@ def composite(image: jnp.ndarray, alpha: jnp.ndarray, trimap: jnp.ndarray,
     image (B, H, W, 3) in [0,1]; alpha, trimap (B, H, W).
     Returns the matted image: (B, H, W, 3) except matted_rgba -> (B, H, W, 4).
     """
+    if output_mode not in OUTPUT_MODES:
+        # the reference node's else-branch silently alpha-blends any other
+        # string (sdmatte_nodes.py:396-397), but its UI dropdown makes a
+        # typo impossible; a programmatic caller here deserves the error
+        raise ValueError(
+            f"unknown output_mode {output_mode!r}; expected one of "
+            f"{OUTPUT_MODES}")
     a = alpha[..., None]
     if output_mode == "alpha_only":
         return jnp.zeros_like(image)
@@ -49,5 +56,5 @@ def composite(image: jnp.ndarray, alpha: jnp.ndarray, trimap: jnp.ndarray,
     if output_mode == "matted_rgb":
         fg = (trimap[..., None] > 0.2) & (a > 0.1)
         return image * fg.astype(image.dtype)
-    # fallback branch: straight alpha multiply
+    # alpha_blend: straight alpha multiply (the reference's else branch)
     return image * a
