@@ -31,7 +31,21 @@ import numpy as np
 def _load_image(path: str, want_channels: int):
     from PIL import Image
     img = Image.open(path)
-    arr = np.asarray(img, np.float32) / 255.0
+    if img.mode == "P":
+        # palette images decode to raw palette INDICES; resolve to colors
+        img = img.convert("RGBA" if "transparency" in img.info else "RGB")
+    arr = np.asarray(img)
+    # normalize by the source bit depth, not a hardcoded 255: 16-bit PNGs
+    # (PIL modes I;16 -> uint16, I -> int32) are the common export format
+    # for trimaps/mattes and would otherwise land at values up to 257
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    elif arr.dtype == np.uint16:
+        arr = arr.astype(np.float32) / 65535.0
+    elif np.issubdtype(arr.dtype, np.integer):
+        arr = arr.astype(np.float32) / float(max(int(arr.max()), 65535))
+    else:
+        arr = arr.astype(np.float32)       # float modes are already [0,1]
     if arr.ndim == 2:
         arr = arr[..., None]
     if want_channels == 3:
@@ -198,6 +212,17 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.batch < 1:
         ap.error(f"--batch must be >= 1 (got {args.batch})")
+    if args.prompt_type == "point_mask" and not args.coords:
+        # without coords the pipeline falls back to the bbox default
+        # [0,0,1,1], which the point branch would silently embed as two
+        # corner points — certainly not what the caller meant
+        ap.error("--prompt-type point_mask requires --coords x1,y1,...")
+    if args.coords:
+        try:
+            [float(v) for v in args.coords.split(",")]
+        except ValueError:
+            ap.error(f"--coords must be comma-separated numbers, got "
+                     f"{args.coords!r}")
 
     if args.cpu:
         # Must happen BEFORE any jax backend init: plugin platforms (axon

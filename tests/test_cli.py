@@ -69,6 +69,47 @@ def test_cli_stem_collision_skipped(tmp_path, capsys):
     assert pairs[0][0] == "cat"
 
 
+def test_load_image_bit_depth_and_palette(tmp_path):
+    """16-bit PNGs (the common matte/trimap export depth) must normalize by
+    65535, not 255; palette images must resolve indices to colors."""
+    p16 = str(tmp_path / "tri16.png")
+    arr16 = np.zeros((8, 8), np.uint16)
+    arr16[4:, 4:] = 65535                    # fg = 1.0
+    arr16[:4, 4:] = 32768                    # unknown ~ 0.5
+    Image.fromarray(arr16).save(p16)
+    got = cli._load_image(p16, 1)[..., 0]
+    assert got.max() <= 1.0 + 1e-6
+    assert abs(got[7, 7] - 1.0) < 1e-6
+    assert abs(got[0, 7] - 0.5) < 1e-3
+
+    pal = str(tmp_path / "pal.png")
+    img = Image.new("P", (8, 8))
+    img.putpalette([0, 0, 0, 255, 0, 0] + [0] * (254 * 3))
+    img.paste(1, (0, 0, 8, 8))               # every pixel = palette entry 1 (red)
+    img.save(pal)
+    rgb = cli._load_image(pal, 3)
+    assert rgb.shape == (8, 8, 3)
+    assert abs(rgb[0, 0, 0] - 1.0) < 1e-6    # red channel, not raw index 1/255
+    assert rgb[0, 0, 1] == 0.0
+
+    p8 = str(tmp_path / "tri8.png")          # 8-bit path unchanged
+    Image.fromarray(np.full((4, 4), 128, np.uint8)).save(p8)
+    assert abs(cli._load_image(p8, 1)[0, 0, 0] - 128 / 255.0) < 1e-6
+
+
+def test_cli_point_prompt_requires_coords(tmp_path):
+    img, tri = str(tmp_path / "in.png"), str(tmp_path / "tri.png")
+    _write_pair(img, tri)
+    with pytest.raises(SystemExit):
+        cli.main(["--image", img, "--trimap", tri,
+                  "--out", str(tmp_path / "o.png"),
+                  "--prompt-type", "point_mask", "--tiny", "--cpu"])
+    with pytest.raises(SystemExit):           # malformed coords -> clean error
+        cli.main(["--image", img, "--trimap", tri,
+                  "--out", str(tmp_path / "o.png"),
+                  "--coords", "0.1,oops", "--tiny", "--cpu"])
+
+
 def test_cli_batch_must_be_positive(tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["--image", "x", "--trimap", "y", "--out", "z",
