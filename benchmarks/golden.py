@@ -37,7 +37,6 @@ def dump(args):
     import jax
     jax.config.update("jax_platforms", "cpu")  # fp32 CPU parity reference
     import jax.numpy as jnp
-    from PIL import Image
     from sdmatte_tpu.configs import SDMatteConfig
     from sdmatte_tpu.core import imaging
     from sdmatte_tpu.models import sdmatte
@@ -49,8 +48,9 @@ def dump(args):
         params, report = load_sdmatte_checkpoint(params, args.ckpt)
         print("checkpoint:", report.summary())
 
-    img = np.asarray(Image.open(args.image).convert("RGB"), np.float32) / 255.0
-    tri = np.asarray(Image.open(args.trimap).convert("L"), np.float32) / 255.0
+    from sdmatte_tpu.utils.images import load_unit_image
+    img = load_unit_image(args.image, 3)
+    tri = load_unit_image(args.trimap, 1)[..., 0]
     s = args.size
     img_r = imaging.resize_bilinear(jnp.asarray(img)[None], s, s)
     tri_r = imaging.resize_bilinear(jnp.asarray(tri)[None, ..., None], s, s)

@@ -50,16 +50,14 @@ _log = get_logger("sdmatte_tpu.serve")
 
 def _png_to_array(b64: str, channels: int) -> np.ndarray:
     from PIL import Image
+    from ..utils.images import pil_to_unit_array
     img = Image.open(io.BytesIO(base64.b64decode(b64)))
-    # Canonicalize through PIL convert so EVERY input mode (LA, P, CMYK,
-    # 16-bit, ...) lands at exactly (H, W, 3) or (H, W, 1): the micro-batch
-    # key has no channel component, so a surprise channel count would fail
-    # np.stack for the whole coalesced batch, not just this request.
-    img = img.convert("RGB" if channels == 3 else "L")
-    arr = np.asarray(img, np.float32) / 255.0
-    if arr.ndim == 2:
-        arr = arr[..., None]
-    return arr
+    # Canonicalize so EVERY input mode (LA, P, CMYK, 16-bit, ...) lands at
+    # exactly (H, W, 3) or (H, W, 1): the micro-batch key has no channel
+    # component, so a surprise channel count would fail np.stack for the
+    # whole coalesced batch, not just this request.  pil_to_unit_array also
+    # normalizes 16-bit sources by 65535 (PIL convert would clip them).
+    return pil_to_unit_array(img, channels)
 
 
 def _array_to_png_b64(arr: np.ndarray) -> str:

@@ -29,33 +29,8 @@ import numpy as np
 
 
 def _load_image(path: str, want_channels: int):
-    from PIL import Image
-    img = Image.open(path)
-    if img.mode == "P":
-        # palette images decode to raw palette INDICES; resolve to colors
-        img = img.convert("RGBA" if "transparency" in img.info else "RGB")
-    arr = np.asarray(img)
-    # normalize by the source bit depth, not a hardcoded 255: 16-bit PNGs
-    # (PIL modes I;16 -> uint16, I -> int32) are the common export format
-    # for trimaps/mattes and would otherwise land at values up to 257
-    if arr.dtype == np.uint8:
-        arr = arr.astype(np.float32) / 255.0
-    elif arr.dtype == np.uint16:
-        arr = arr.astype(np.float32) / 65535.0
-    elif np.issubdtype(arr.dtype, np.integer):
-        arr = arr.astype(np.float32) / float(max(int(arr.max()), 65535))
-    else:
-        arr = arr.astype(np.float32)       # float modes are already [0,1]
-    if arr.ndim == 2:
-        arr = arr[..., None]
-    if want_channels == 3:
-        if arr.shape[-1] == 4:
-            arr = arr[..., :3]
-        elif arr.shape[-1] == 1:
-            arr = np.repeat(arr, 3, axis=-1)
-    elif want_channels == 1 and arr.shape[-1] > 1:
-        arr = arr[..., :1]
-    return arr
+    from .utils.images import load_unit_image
+    return load_unit_image(path, want_channels)
 
 
 def _save_image(path: str, arr: np.ndarray):

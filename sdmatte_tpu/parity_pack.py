@@ -268,11 +268,9 @@ def run(argv=None) -> int:
         import jax.numpy as jnp
         s = args.size
         if args.image and args.trimap:
-            from PIL import Image
-            img = np.asarray(Image.open(args.image).convert("RGB"),
-                             np.float32) / 255.0
-            tri = np.asarray(Image.open(args.trimap).convert("L"),
-                             np.float32) / 255.0
+            from .utils.images import load_unit_image
+            img = load_unit_image(args.image, 3)
+            tri = load_unit_image(args.trimap, 1)[..., 0]
             img = np.asarray(imaging.resize_bilinear(
                 jnp.asarray(img)[None], s, s, antialias=True))
             tri = np.asarray(imaging.resize_bilinear(

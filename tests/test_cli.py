@@ -97,6 +97,27 @@ def test_load_image_bit_depth_and_palette(tmp_path):
     assert abs(cli._load_image(p8, 1)[0, 0, 0] - 128 / 255.0) < 1e-6
 
 
+def test_serve_png_decode_16bit_not_clipped(tmp_path):
+    """The HTTP endpoint shares the bit-depth-aware decoder: a 16-bit
+    trimap's 0.5-gray unknown band must stay 0.5, not clip to foreground
+    (PIL convert('L') clips >8-bit samples at 255)."""
+    import base64
+    import io
+    from sdmatte_tpu.api.serve import _png_to_array
+    arr16 = np.full((6, 6), 32768, np.uint16)
+    buf = io.BytesIO()
+    Image.fromarray(arr16).save(buf, format="PNG")
+    tri = _png_to_array(base64.b64encode(buf.getvalue()).decode(), 1)
+    assert tri.shape == (6, 6, 1)
+    assert abs(float(tri[0, 0, 0]) - 0.5) < 1e-3
+    # 8-bit RGB request path unchanged: (H, W, 3) in [0, 1]
+    buf = io.BytesIO()
+    Image.fromarray(np.full((6, 6, 3), 128, np.uint8)).save(buf, format="PNG")
+    img = _png_to_array(base64.b64encode(buf.getvalue()).decode(), 3)
+    assert img.shape == (6, 6, 3)
+    assert abs(float(img[0, 0, 0]) - 128 / 255.0) < 1e-6
+
+
 def test_cli_point_prompt_requires_coords(tmp_path):
     img, tri = str(tmp_path / "in.png"), str(tmp_path / "tri.png")
     _write_pair(img, tri)
