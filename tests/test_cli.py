@@ -97,6 +97,31 @@ def test_load_image_bit_depth_and_palette(tmp_path):
     assert abs(cli._load_image(p8, 1)[0, 0, 0] - 128 / 255.0) < 1e-6
 
 
+def test_decoder_canonicalizes_every_mode(tmp_path):
+    """Every PIL mode must land at exactly (H, W, 3) or (H, W, 1) in [0, 1]
+    — the serve micro-batch key has no channel component, so a surprise
+    channel count would fail np.stack for a whole coalesced batch."""
+    from sdmatte_tpu.utils.images import pil_to_unit_array
+    h, w = 5, 7
+    modes = {
+        "RGBA": Image.fromarray(
+            np.full((h, w, 4), 200, np.uint8), "RGBA"),
+        "LA": Image.fromarray(np.full((h, w, 2), 100, np.uint8), "LA"),
+        "CMYK": Image.new("CMYK", (w, h), (10, 20, 30, 40)),
+        "1": Image.new("1", (w, h), 1),
+        "F": Image.fromarray(np.full((h, w), 0.25, np.float32), "F"),
+        "I": Image.fromarray(np.full((h, w), 32768, np.int32), "I"),
+    }
+    for name, img in modes.items():
+        for ch in (3, 1):
+            arr = pil_to_unit_array(img, ch)
+            assert arr.shape == (h, w, ch), (name, ch, arr.shape)
+            assert arr.dtype == np.float32
+            assert 0.0 <= float(arr.min()) and float(arr.max()) <= 1.0, name
+    assert abs(float(pil_to_unit_array(modes["F"], 1)[0, 0, 0]) - 0.25) < 1e-6
+    assert abs(float(pil_to_unit_array(modes["I"], 1)[0, 0, 0]) - 0.5) < 1e-3
+
+
 def test_serve_png_decode_16bit_not_clipped(tmp_path):
     """The HTTP endpoint shares the bit-depth-aware decoder: a 16-bit
     trimap's 0.5-gray unknown band must stay 0.5, not clip to foreground
