@@ -177,8 +177,11 @@ class SDMatteApply:
             trimap_constraint=float(trimap_constraint),
         )
         alpha, matted = pipe(img_np, tri_np, options=opts)
-        alpha_np = np.asarray(alpha, np.float32)
-        matted_np = np.asarray(matted, np.float32)
+        # np.array (copy), not np.asarray: the jax-backed buffer is read-only
+        # and torch.from_numpy would hand ComfyUI a non-writable tensor —
+        # undefined behavior the moment a downstream node mutates its mask
+        alpha_np = np.array(alpha, np.float32)
+        matted_np = np.array(matted, np.float32)
 
         # Mirror the reference's post-run cache flush through the host's
         # policy hook (sdmatte_nodes.py:399-403); no-op outside ComfyUI.

@@ -56,6 +56,11 @@ def test_node_apply_matte_with_torch_tensors(tiny_pipe, monkeypatch):
     assert isinstance(alpha, torch.Tensor) and isinstance(matted, torch.Tensor)
     assert alpha.shape == (1, 96, 80)
     assert matted.shape == (1, 96, 80, 3)
+    # tensors must be writable: torch.from_numpy over the jax-backed
+    # (read-only) buffer hands ComfyUI a tensor whose mutation is undefined
+    # behavior — downstream mask nodes routinely edit in place
+    alpha[0, 0, 0] = 0.5
+    matted[0, 0, 0, 0] = 0.5
 
 
 # ----------------------------------------------------------- prompt paths ---
